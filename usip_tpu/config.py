@@ -1,0 +1,286 @@
+"""Single dataclass-based config system.
+
+Replaces the reference's nine per-dataset argparse ``Options`` copies
+(``/root/reference/{modelnet,oxford,kitti,scenenn,match3d}/options_*.py``) with one
+config type plus per-dataset presets. Preset values transcribed from the defaults
+table of those files (see SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Architecture + loss hyperparameters of the keypoint detector.
+
+    Mirrors the knobs consumed by ``RPN_Detector``/``RPN_DetectorLite``/
+    ``RPN_Detector_KNN``/``RPN_Detector_Ball`` (reference models/networks.py:20-738).
+    """
+
+    # grouping variant: 'som' (query_topk + scatter-max, RPN_Detector),
+    # 'knn' (RPN_Detector_KNN), 'ball' (RPN_Detector_Ball)
+    grouping: str = "som"
+    # feature widths; full detector uses (128, 512), lite (indoor) uses (64, 256)
+    c1: int = 128
+    c2: int = 512
+    # point->node association top-k (reference opt.k, always 1 in released configs)
+    k: int = 1
+    # kNN over nodes inside GeneralKNNFusionModule (reference opt.node_knn_k_1)
+    node_knn_k: int = 16
+    # grouping size for knn/ball variants (reference hardcodes 64, networks.py:563,691)
+    group_k: int = 64
+    # ball radius for the 'ball' variant (reference hardcodes 2, networks.py:692)
+    group_radius: float = 2.0
+    surface_normal_len: int = 4
+    activation: str = "relu"
+    normalization: str = "batch"
+    # sigma = softplus(head) + lower bound (networks.py:154)
+    sigma_lower_bound: float = 1e-3
+
+
+@dataclass(frozen=True)
+class DescriptorConfig:
+    """Ball-grouping descriptor (DescriptorLiteOld / DescriptorLiteOldGlobal)."""
+
+    descriptor_len: int = 128
+    ball_radius: float = 2.0
+    ball_nsamples: int = 64
+    # 'global' adds the PPFNet-style global-context fusion (networks.py:388-479)
+    use_global_context: bool = False
+    surface_normal_len: int = 4
+    activation: str = "relu"
+    normalization: str = "batch"
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Training loss weights/thresholds (reference models/losses.py + options)."""
+
+    keypoint_on_pc_alpha: float = 1.0
+    # 'point_to_point' -> SingleSideChamferLoss; 'point_to_plane' -> PointOnSurfaceLoss
+    keypoint_on_pc_type: str = "point_to_point"
+    # descriptor triplet losses
+    triple_loss_gamma: float = 0.5
+    sigma_max: float = 3.0
+    cgf_radius: float = 0.075
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """On-device augmentation (reference data/augmentation.py + loader .augment())."""
+
+    rot_horizontal: bool = False
+    rot_3d: bool = False
+    rot_perturbation: bool = False
+    translation_perturbation: bool = False
+    scale_thre: float = 0.2
+    shift_thre: float = 0.2
+    # per-point jitter applied by object-dataset loaders (modelnet_shrec_loader.py:195-201)
+    jitter: bool = False
+    jitter_pc_sigma: float = 0.01
+    jitter_pc_clip: float = 0.05
+    jitter_node_sigma: float = 0.04
+    jitter_node_clip: float = 0.1
+    # oxford-specific random height scaling z*[0.25,1.2] (oxford_detector_loader.py:188-192)
+    height_scale: bool = False
+    height_scale_low: float = 0.25
+    height_scale_high: float = 1.2
+
+    @property
+    def rot_type(self) -> Optional[str]:
+        if self.rot_3d:
+            return "3d"
+        if self.rot_horizontal:
+            return "2d"
+        return None
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8
+    lr: float = 1e-3
+    # LR multiplied by lr_decay_ratio every lr_decay_step epochs, floored at 1e-5
+    # (reference ModelDetector.update_learning_rate, train_detector.py per-dataset steps)
+    lr_decay_step: int = 40
+    lr_decay_ratio: float = 0.5
+    lr_clip: float = 1e-5
+    epochs: int = 500
+    bn_momentum: float = 0.1
+    bn_momentum_decay_step: Optional[int] = None
+    bn_momentum_decay: float = 0.6
+    # keep-ratio lower limit for random point dropout (1.0 disables; keypoint_detector.py:161)
+    random_pc_dropout_lower_limit: float = 1.0
+    seed: int = 0
+    # data-parallel submesh size; 1 = single chip
+    num_devices: int = 1
+    checkpoint_dir: str = "checkpoints"
+    name: str = "train"
+    log_every: int = 20
+    save_every_epochs: int = 1
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "modelnet"
+    dataroot: str = ""
+    input_pc_num: int = 5000
+    node_num: int = 512
+    # FPS node sampling runs over a random 1/fps_subsample_ratio subset of the cloud
+    fps_subsample_ratio: int = 4
+    num_workers: int = 8
+    # kitti: optional radius crop
+    crop_radius: Optional[float] = None
+    # descriptor positive-pair search radius (kitti_descriptor_loader.py:154)
+    positive_radius: float = 5.0
+    negative_radius: float = 50.0
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    descriptor: DescriptorConfig = field(default_factory=DescriptorConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def replace(self, **sections) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+    def with_overrides(self, **dotted) -> "Config":
+        """Override leaf fields with dotted keys, e.g. ``data.input_pc_num=1024``."""
+        cfg = self
+        for key, value in dotted.items():
+            section, _, leaf = key.partition(".")
+            if not leaf:
+                raise KeyError(f"expected dotted key 'section.field', got {key!r}")
+            sub = getattr(cfg, section)
+            cfg = dataclasses.replace(cfg, **{section: dataclasses.replace(sub, **{leaf: value})})
+        return cfg
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+def _object_preset() -> Config:
+    """ModelNet40 / SHREC detector (reference modelnet/options_detector.py)."""
+    return Config(
+        data=DataConfig(dataset="modelnet", input_pc_num=5000, node_num=512),
+        detector=DetectorConfig(
+            grouping="som", c1=128, c2=512, node_knn_k=32,
+            surface_normal_len=3, sigma_lower_bound=1e-4,
+        ),
+        loss=LossConfig(keypoint_on_pc_alpha=1.0),
+        augment=AugmentConfig(rot_3d=True, jitter=True, shift_thre=0.5),
+        train=TrainConfig(batch_size=8, lr_decay_step=40),
+    )
+
+
+def _oxford_preset() -> Config:
+    """Oxford RobotCar detector (reference oxford/options_detector.py)."""
+    return Config(
+        data=DataConfig(dataset="oxford", input_pc_num=16384, node_num=512,
+                        fps_subsample_ratio=8),
+        detector=DetectorConfig(
+            grouping="som", c1=128, c2=512, node_knn_k=16,
+            surface_normal_len=4, sigma_lower_bound=1e-3,
+        ),
+        loss=LossConfig(keypoint_on_pc_alpha=1.0),
+        augment=AugmentConfig(rot_horizontal=True, height_scale=True),
+        train=TrainConfig(batch_size=8, lr_decay_step=10),
+    )
+
+
+def _kitti_preset() -> Config:
+    """KITTI detector (reference kitti/options_detector.py)."""
+    return Config(
+        data=DataConfig(dataset="kitti", input_pc_num=16384, node_num=512,
+                        fps_subsample_ratio=8),
+        detector=DetectorConfig(
+            grouping="som", c1=128, c2=512, node_knn_k=16,
+            surface_normal_len=4, sigma_lower_bound=1e-3,
+        ),
+        loss=LossConfig(keypoint_on_pc_alpha=0.01),
+        augment=AugmentConfig(rot_horizontal=True),
+        train=TrainConfig(batch_size=8, lr_decay_step=10),
+    )
+
+
+def _scenenn_preset() -> Config:
+    """SceneNN indoor detector (reference scenenn/options_detector.py)."""
+    return Config(
+        data=DataConfig(dataset="scenenn", input_pc_num=10240, node_num=512),
+        detector=DetectorConfig(
+            grouping="som", c1=128, c2=512, node_knn_k=32,
+            surface_normal_len=4, sigma_lower_bound=1e-4,
+        ),
+        loss=LossConfig(keypoint_on_pc_alpha=100.0),
+        augment=AugmentConfig(rot_3d=True),
+        train=TrainConfig(batch_size=8, lr_decay_step=30),
+    )
+
+
+def _match3d_preset() -> Config:
+    """3DMatch detector (reference match3d/options_detector.py)."""
+    return Config(
+        data=DataConfig(dataset="match3d", input_pc_num=10240, node_num=512),
+        detector=DetectorConfig(
+            grouping="som", c1=128, c2=512, node_knn_k=32,
+            surface_normal_len=4, sigma_lower_bound=1e-4,
+        ),
+        loss=LossConfig(keypoint_on_pc_alpha=10.0),
+        augment=AugmentConfig(rot_3d=True),
+        train=TrainConfig(batch_size=8, lr_decay_step=40),
+    )
+
+
+def _descriptor_preset(base: Config, **desc_kw) -> Config:
+    return dataclasses.replace(base, descriptor=DescriptorConfig(**desc_kw))
+
+
+PRESETS = {
+    "modelnet": _object_preset,
+    "shrec": _object_preset,
+    "oxford": _oxford_preset,
+    "kitti": _kitti_preset,
+    "scenenn": _scenenn_preset,
+    "match3d": _match3d_preset,
+}
+
+
+def get_config(dataset: str, **overrides) -> Config:
+    """Per-dataset preset; ``overrides`` are dotted keys (``data.input_pc_num=...``)."""
+    try:
+        cfg = PRESETS[dataset]()
+    except KeyError:
+        raise KeyError(f"unknown dataset {dataset!r}; choose from {sorted(PRESETS)}")
+    # descriptor presets per dataset (options_descriptor.py files)
+    if dataset in ("oxford", "kitti"):
+        cfg = _descriptor_preset(
+            cfg, descriptor_len=128, ball_radius=2.0, ball_nsamples=64,
+            use_global_context=False, surface_normal_len=4,
+        )
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, triple_loss_gamma=0.5, sigma_max=3.0))
+    elif dataset == "scenenn":
+        # indoor descriptor: node_num 512, pc 5000, ball (0.75, 448), CGF loss
+        cfg = _descriptor_preset(
+            cfg, descriptor_len=128, ball_radius=0.75, ball_nsamples=448,
+            use_global_context=True, surface_normal_len=4,
+        )
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(
+                cfg.loss, triple_loss_gamma=0.3, sigma_max=0.5, cgf_radius=0.075))
+    if overrides:
+        cfg = cfg.with_overrides(**overrides)
+    return cfg
+
+
+def lite_detector(cfg: DetectorConfig) -> DetectorConfig:
+    """Indoor 'lite' widths (RPN_DetectorLite, networks.py:165-307)."""
+    return dataclasses.replace(cfg, c1=64, c2=256)

@@ -1,0 +1,119 @@
+"""Pairwise-distance primitives, MXU-friendly.
+
+Every dense ``BxMxN`` distance tensor in the reference (chamfer losses
+``models/losses.py:62-66``, point->node assignment ``util/som.py:31-39``, node kNN
+``models/layers.py:417-421``, descriptor ball query ``models/networks.py:355-357``)
+reduces to these primitives. We compute squared distances with the matmul expansion
+``|a|^2 + |b|^2 - 2 a.b`` so the contraction rides the MXU, and keep the reduction
+(`min`/`top_k`) adjacent so XLA fuses it into the epilogue instead of round-tripping
+the full matrix through HBM in fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def pairwise_sqdist(a: Array, b: Array, *, exact: bool = False) -> Array:
+    """Squared euclidean distances between two point sets.
+
+    Args:
+      a: ``(..., M, D)``.
+      b: ``(..., N, D)``.
+      exact: use the O(M*N*D)-memory difference formulation (numerically exact;
+        for tests / tiny inputs). Default uses the matmul expansion (MXU).
+
+    Returns:
+      ``(..., M, N)`` squared distances, clamped at 0.
+    """
+    if exact:
+        diff = a[..., :, None, :] - b[..., None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (..., M, 1)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)  # (..., N, 1)
+    # HIGHEST precision: distance geometry must not drop to bf16 on the MXU
+    cross = jnp.einsum("...md,...nd->...mn", a, b,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    sq = a2 - 2.0 * cross + jnp.swapaxes(b2, -1, -2)
+    return jnp.maximum(sq, 0.0)
+
+
+def safe_sqrt(x: Array, eps: float = 1e-12) -> Array:
+    """sqrt with a zero (not nan) gradient at 0.
+
+    Matches ``torch.norm``'s subgradient convention at the origin, which the
+    reference relies on (models/losses.py:26 comment).
+    """
+    is_zero = x <= 0.0
+    masked = jnp.where(is_zero, 1.0, x)
+    return jnp.where(is_zero, 0.0, jnp.sqrt(jnp.maximum(masked, eps)))
+
+
+def pairwise_dist(a: Array, b: Array, *, exact: bool = False) -> Array:
+    """Euclidean distances ``(..., M, N)`` with safe gradients at 0."""
+    return safe_sqrt(pairwise_sqdist(a, b, exact=exact))
+
+
+def knn(query: Array, database: Array, k: int, *, exact: bool = False):
+    """k nearest neighbors of each query point in the database.
+
+    Args:
+      query: ``(..., M, D)``.
+      database: ``(..., N, D)``.
+      k: number of neighbors.
+
+    Returns:
+      ``(sqdists, indices)`` each ``(..., M, k)``, sorted ascending by distance —
+      matching ``torch.topk(largest=False, sorted=True)`` used by
+      GeneralKNNFusionModule (models/layers.py:421).
+    """
+    sq = pairwise_sqdist(query, database, exact=exact)
+    neg_d, idx = jax.lax.top_k(-sq, k)
+    return -neg_d, idx
+
+
+def gather_points(points: Array, idx: Array) -> Array:
+    """Gather rows of a point/feature array by index.
+
+    Args:
+      points: ``(..., N, C)``.
+      idx: ``(..., K)`` or ``(..., M, K)`` integer indices into the N axis.
+
+    Returns:
+      ``(..., K, C)`` / ``(..., M, K, C)``.
+
+    TPU-native replacement for the reference's expand+``torch.gather`` chains
+    (models/operations.py:271-287, models/layers.py:422-426).
+    """
+    if idx.ndim == points.ndim - 1:
+        return jnp.take_along_axis(points, idx[..., None], axis=-2)
+    if idx.ndim == points.ndim:
+        # (..., M, K) indices into (..., N, C): flatten M*K then reshape
+        *batch, m, k = idx.shape
+        flat = idx.reshape(*batch, m * k)
+        out = jnp.take_along_axis(points, flat[..., None], axis=-2)
+        return out.reshape(*batch, m, k, points.shape[-1])
+    raise ValueError(f"idx rank {idx.ndim} incompatible with points rank {points.ndim}")
+
+
+def apply_se3(points: Array, R: Array, scale: Array, shift: Array) -> Array:
+    """Apply the GT transform ``p -> (R @ p) * scale + shift`` batch-wise.
+
+    Args:
+      points: ``(B, N, 3)``.
+      R: ``(B, 3, 3)``.
+      scale: ``(B,)`` or ``(B, 1)``.
+      shift: ``(B, 3)`` or ``(B, 3, 1)``.
+
+    Channels-last analog of keypoint_detector.py:182-184.
+    """
+    scale = scale.reshape(scale.shape[0], 1, 1)
+    shift = shift.reshape(shift.shape[0], 1, 3)
+    rotated = jnp.einsum("bij,bnj->bni", R, points)
+    return rotated * scale + shift

@@ -1,0 +1,127 @@
+"""Point->node association and neighborhood grouping ops.
+
+TPU-native equivalents of:
+  * ``som.query_topk`` (reference util/som.py:17-54) — the point->node assignment
+    used by every SOM-variant detector forward,
+  * ``ball_query.forward_cuda_shared_mem`` (reference
+    models/ball_query_ext/ball_query_cuda.cu:10-49) — "first K points within radius,
+    scanned in (randomly permuted) order, cyclically padded".
+
+Design notes (TPU-first): the ball query's serial scan becomes a *priority top-k*:
+each point gets one random priority shared by all balls (the reference permutes the
+cloud once per forward, networks.py:344-347, so priorities are shared), points outside
+the radius get +inf, and a fixed-shape ``top_k`` of the lowest priorities reproduces
+"first K in permuted order within radius" exactly — no serial scan, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from usip_tpu.ops.geometry import pairwise_sqdist
+
+Array = jax.Array
+
+
+class NodeAssignment(NamedTuple):
+    """Result of point->node association (som.query_topk semantics).
+
+    Attributes:
+      ids: ``(B, kN)`` int32 — node index of each (stacked) point, k-major order
+        (all points' 1st-nearest node, then all points' 2nd-nearest, ...), matching
+        ``min_idx.permute(0,2,1).view(B, k*N)`` (util/som.py:50).
+      occupancy: ``(B, M)`` float 0/1 — whether any point maps to the node
+        (``mask_row_max``, util/som.py:52).
+      counts: ``(B, M)`` float — number of points per node (``mask_row_sum``).
+    """
+
+    ids: Array
+    occupancy: Array
+    counts: Array
+
+
+def assign_points_to_nodes(points: Array, nodes: Array, k: int = 1) -> NodeAssignment:
+    """For each point, its k nearest nodes (k-major flattened), plus node occupancy.
+
+    Args:
+      points: ``(B, N, 3)``.
+      nodes: ``(B, M, 3)``.
+      k: number of nearest nodes per point (reference opt.k; 1 in all released runs).
+
+    Avoids materializing the reference's one-hot ``(B, kN, M)`` mask; occupancy and
+    counts come from a segment-sum instead.
+    """
+    b, n, _ = points.shape
+    m = nodes.shape[1]
+    sq = pairwise_sqdist(points, nodes)  # (B, N, M)
+    if k == 1:
+        ids = jnp.argmin(sq, axis=-1).astype(jnp.int32)  # (B, N)
+    else:
+        _, idx = jax.lax.top_k(-sq, k)  # (B, N, k) ascending by distance
+        ids = jnp.swapaxes(idx, 1, 2).reshape(b, k * n).astype(jnp.int32)  # k-major
+
+    def occ(ids_b):
+        counts = jax.ops.segment_sum(jnp.ones_like(ids_b, jnp.float32), ids_b,
+                                     num_segments=m)
+        return counts
+
+    counts = jax.vmap(occ)(ids)
+    occupancy = (counts > 0).astype(jnp.float32)
+    return NodeAssignment(ids=ids, occupancy=occupancy, counts=counts)
+
+
+class BallQueryResult(NamedTuple):
+    """Fixed-shape ball query.
+
+    Attributes:
+      idx: ``(B, M, K)`` int32 point indices; within-radius points in priority
+        order, cyclically padded when fewer than K are in the ball, all-zero when
+        the ball is empty (matching ball_query_cuda.cu:22-46).
+      valid: ``(B, M, K)`` bool — True for genuine (non-padded) neighbors.
+      counts: ``(B, M)`` int32 — number of in-radius points found (capped at K).
+    """
+
+    idx: Array
+    valid: Array
+    counts: Array
+
+
+def ball_query(points: Array, centers: Array, radius: float, k: int,
+               key: Array | None = None) -> BallQueryResult:
+    """Random-priority masked top-k ball query.
+
+    Args:
+      points: ``(B, N, 3)``.
+      centers: ``(B, M, 3)`` ball centers (keypoints / nodes).
+      radius: ball radius (euclidean).
+      k: samples per ball.
+      key: PRNG key for the per-point priorities. ``None`` -> natural point order
+        (deterministic; equivalent to the reference with an identity permutation).
+
+    The reference permutes the cloud once then takes the first K in-ball points per
+    center; with per-point random priorities shared across centers this is the exact
+    same distribution (uniform-without-replacement ball sampling).
+    """
+    b, n, _ = points.shape
+    m = centers.shape[1]
+    sq = pairwise_sqdist(centers, points)  # (B, M, N)
+    in_ball = sq <= radius * radius
+    if key is None:
+        priority = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.float32)[None, :], (b, n))
+    else:
+        priority = jax.random.uniform(key, (b, n), dtype=jnp.float32)
+    scores = jnp.where(in_ball, priority[:, None, :], jnp.inf)  # (B, M, N)
+    neg_top, idx = jax.lax.top_k(-scores, k)  # lowest priority first
+    found = jnp.isfinite(-neg_top)  # (B, M, K)
+    counts = jnp.sum(found, axis=-1).astype(jnp.int32)  # (B, M)
+    # cyclic padding: slot j >= count reuses idx[j % count]; empty ball -> index 0
+    slot = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    denom = jnp.maximum(counts, 1)[..., None]
+    wrapped = jnp.where(found, slot, slot % denom)
+    idx = jnp.take_along_axis(idx, wrapped, axis=-1)
+    idx = jnp.where(counts[..., None] > 0, idx, 0).astype(jnp.int32)
+    return BallQueryResult(idx=idx, valid=found, counts=counts)
