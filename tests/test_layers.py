@@ -1,0 +1,83 @@
+"""Tests for NN building blocks: torch-semantics batch norm, momentum schedule,
+shared MLP init/shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from usip_tpu.nn import (BatchNorm, PointwiseLayer, SharedMLP, activation_fn,
+                         bn_momentum_schedule)
+
+
+def test_batchnorm_normalizes_and_updates_running_stats(rng):
+    x = rng.normal(loc=3.0, scale=2.0, size=(4, 10, 8)).astype(np.float32)
+    bn = BatchNorm(8)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        use_running_average=False)
+    y, mutated = bn.apply(variables, jnp.asarray(x), use_running_average=False,
+                          momentum=0.1, mutable=["batch_stats"])
+    y = np.asarray(y)
+    # normalized output: ~0 mean, ~1 var per channel
+    np.testing.assert_allclose(y.reshape(-1, 8).mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(y.reshape(-1, 8).var(0), 1.0, atol=1e-3)
+    # torch running-stat update: (1-m)*run + m*batch (unbiased var)
+    batch_mean = x.reshape(-1, 8).mean(0)
+    batch_var_unbiased = x.reshape(-1, 8).var(0, ddof=1)
+    np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["mean"]),
+                               0.9 * 0.0 + 0.1 * batch_mean, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["var"]),
+                               0.9 * 1.0 + 0.1 * batch_var_unbiased, rtol=1e-4)
+
+
+def test_batchnorm_eval_uses_running_stats(rng):
+    x = rng.normal(size=(2, 5, 4)).astype(np.float32)
+    bn = BatchNorm(4)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        use_running_average=False)
+    stats = {"batch_stats": {"mean": jnp.full((4,), 2.0), "var": jnp.full((4,), 4.0)},
+             "params": variables["params"]}
+    y = bn.apply(stats, jnp.asarray(x), use_running_average=True)
+    np.testing.assert_allclose(np.asarray(y), (x - 2.0) / np.sqrt(4.0 + 1e-5),
+                               rtol=1e-5)
+
+
+def test_bn_momentum_schedule_matches_reference():
+    """models/layers.py:61-66: m = m0 * decay**(epoch//step), clamped at 0.01,
+    applied only from epoch >= 1."""
+    f = lambda e: float(bn_momentum_schedule(0.1, jnp.asarray(e), 20, 0.6))
+    assert np.isclose(f(0), 0.1)
+    assert np.isclose(f(1), 0.1)         # floor(1/20) == 0
+    assert np.isclose(f(20), 0.1 * 0.6)
+    assert np.isclose(f(45), 0.1 * 0.6 ** 2)
+    assert np.isclose(f(1000), 0.01)     # clamp
+    assert np.isclose(float(bn_momentum_schedule(0.1, jnp.asarray(50), None, 0.6)),
+                      0.1)
+
+
+def test_swish_matches_reference_formula(rng):
+    x = rng.normal(size=(7,)).astype(np.float32)
+    got = np.asarray(activation_fn("swish")(jnp.asarray(x)))
+    sig = 1.0 / (1.0 + np.exp(-x))
+    ref = 1.78718727865 * (x * sig - 0.20662096414)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_pointwise_layer_init_statistics():
+    """He-normal N(0, sqrt(2/fan_in)) kernel, zero bias (models/layers.py:278-287)."""
+    layer = PointwiseLayer(256, activation="relu", normalization=None)
+    v = layer.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 128)))
+    k = np.asarray(v["params"]["dense"]["kernel"])
+    assert k.shape == (128, 256)
+    np.testing.assert_allclose(k.std(), np.sqrt(2.0 / 128), rtol=0.1)
+    np.testing.assert_array_equal(np.asarray(v["params"]["dense"]["bias"]), 0.0)
+
+
+def test_shared_mlp_last_layer_linear(rng):
+    """PointNet's last layer has no norm/activation (models/layers.py:530-535):
+    outputs can be negative."""
+    mlp = SharedMLP((8, 8), activation="relu", normalization="batch")
+    x = jnp.asarray(rng.normal(size=(2, 16, 4)).astype(np.float32))
+    v = mlp.init(jax.random.PRNGKey(0), x, train=False)
+    y = np.asarray(mlp.apply(v, x, train=False))
+    assert (y < 0).any()
+    assert y.shape == (2, 16, 8)

@@ -80,12 +80,21 @@ class AugmentConfig:
     translation_perturbation: bool = False
     scale_thre: float = 0.2
     shift_thre: float = 0.2
-    # per-point jitter applied by object-dataset loaders (modelnet_shrec_loader.py:195-201)
+    # per-point jitter applied inside the loaders' .augment() (per-dataset sigmas,
+    # e.g. kitti_detector_loader.py:163-171, modelnet_shrec_loader.py:195-201)
     jitter: bool = False
     jitter_pc_sigma: float = 0.01
     jitter_pc_clip: float = 0.05
     jitter_node_sigma: float = 0.04
     jitter_node_clip: float = 0.1
+    # modelnet reuses the same jitter noise for both siamese copies
+    shared_jitter: bool = False
+    # shared-augment uniform scale range (loader .augment())
+    aug_scale_low: float = 0.9
+    aug_scale_high: float = 1.1
+    # ground-truth transform of the dst copy (transform_pc_pytorch call sites)
+    gt_scale_thre: float = 0.2
+    gt_shift_thre: float = 0.5
     # oxford-specific random height scaling z*[0.25,1.2] (oxford_detector_loader.py:188-192)
     height_scale: bool = False
     height_scale_low: float = 0.25
@@ -176,7 +185,13 @@ def _object_preset() -> Config:
             surface_normal_len=3, sigma_lower_bound=1e-4,
         ),
         loss=LossConfig(keypoint_on_pc_alpha=1.0),
-        augment=AugmentConfig(rot_3d=True, jitter=True, shift_thre=0.5),
+        augment=AugmentConfig(
+            rot_3d=True, jitter=True, shared_jitter=True,
+            jitter_pc_sigma=0.01, jitter_pc_clip=0.05,
+            jitter_node_sigma=0.04, jitter_node_clip=0.1,
+            aug_scale_low=0.8, aug_scale_high=1.2,
+            gt_scale_thre=0.2, gt_shift_thre=0.5,
+        ),
         train=TrainConfig(batch_size=8, lr_decay_step=40),
     )
 
@@ -191,7 +206,13 @@ def _oxford_preset() -> Config:
             surface_normal_len=4, sigma_lower_bound=1e-3,
         ),
         loss=LossConfig(keypoint_on_pc_alpha=1.0),
-        augment=AugmentConfig(rot_horizontal=True, height_scale=True),
+        augment=AugmentConfig(
+            rot_horizontal=True, height_scale=True, jitter=True,
+            jitter_pc_sigma=0.04, jitter_pc_clip=0.12,
+            jitter_node_sigma=0.04, jitter_node_clip=0.12,
+            aug_scale_low=0.7, aug_scale_high=1.3,
+            gt_scale_thre=0.0, gt_shift_thre=0.5,
+        ),
         train=TrainConfig(batch_size=8, lr_decay_step=10),
     )
 
@@ -206,7 +227,13 @@ def _kitti_preset() -> Config:
             surface_normal_len=4, sigma_lower_bound=1e-3,
         ),
         loss=LossConfig(keypoint_on_pc_alpha=0.01),
-        augment=AugmentConfig(rot_horizontal=True),
+        augment=AugmentConfig(
+            rot_horizontal=True, jitter=True,
+            jitter_pc_sigma=0.04, jitter_pc_clip=0.12,
+            jitter_node_sigma=0.04, jitter_node_clip=0.12,
+            aug_scale_low=0.9, aug_scale_high=1.1,
+            gt_scale_thre=0.0, gt_shift_thre=0.5,
+        ),
         train=TrainConfig(batch_size=8, lr_decay_step=10),
     )
 
@@ -220,7 +247,13 @@ def _scenenn_preset() -> Config:
             surface_normal_len=4, sigma_lower_bound=1e-4,
         ),
         loss=LossConfig(keypoint_on_pc_alpha=100.0),
-        augment=AugmentConfig(rot_3d=True),
+        augment=AugmentConfig(
+            rot_3d=True, jitter=True,
+            jitter_pc_sigma=0.01, jitter_pc_clip=0.02,
+            jitter_node_sigma=0.01, jitter_node_clip=0.02,
+            aug_scale_low=0.8, aug_scale_high=1.2,
+            gt_scale_thre=0.1, gt_shift_thre=0.5,
+        ),
         train=TrainConfig(batch_size=8, lr_decay_step=30),
     )
 
@@ -234,7 +267,13 @@ def _match3d_preset() -> Config:
             surface_normal_len=4, sigma_lower_bound=1e-4,
         ),
         loss=LossConfig(keypoint_on_pc_alpha=10.0),
-        augment=AugmentConfig(rot_3d=True),
+        augment=AugmentConfig(
+            rot_3d=True, jitter=True,
+            jitter_pc_sigma=0.01, jitter_pc_clip=0.02,
+            jitter_node_sigma=0.01, jitter_node_clip=0.02,
+            aug_scale_low=0.8, aug_scale_high=1.2,
+            gt_scale_thre=0.1, gt_shift_thre=0.5,
+        ),
         train=TrainConfig(batch_size=8, lr_decay_step=40),
     )
 

@@ -1,0 +1,185 @@
+"""NN building blocks (flax.linen), channels-last.
+
+Re-designs the reference's block zoo (models/layers.py) for TPU:
+  * every "1x1 conv" (``EquivariantLayer``/``MyConv2d``) is a Dense matmul over the
+    trailing channel axis — identical math, MXU-shaped,
+  * batch norm takes its momentum as a *call argument* so the reference's
+    epoch-decayed momentum schedule (models/layers.py:61-66) works inside one jitted
+    train step (no recompiles),
+  * weight init matches the reference: He-normal ``N(0, sqrt(2/fan_in))`` with zero
+    bias (models/layers.py:278-287).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+HE_NORMAL = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def activation_fn(name: Optional[str]):
+    """Activation zoo of the reference (models/layers.py:264-273)."""
+    if name is None:
+        return lambda x: x
+    if name == "relu":
+        return jax.nn.relu
+    if name == "elu":
+        return jax.nn.elu
+    if name == "swish":
+        # the reference's normalized swish (models/layers.py:15-20)
+        return lambda x: 1.78718727865 * (x * jax.nn.sigmoid(x) - 0.20662096414)
+    if name == "leakyrelu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.01)
+    if name == "selu":
+        return jax.nn.selu
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def bn_momentum_schedule(base: float, epoch: Optional[Array],
+                         decay_step: Optional[int], decay: float) -> Array:
+    """Epoch-decayed BN momentum, clamped at 0.01 (models/layers.py:61-66).
+
+    ``epoch`` may be a traced scalar; returns a scalar momentum usable inside jit.
+    """
+    m = jnp.asarray(base, jnp.float32)
+    if epoch is None or decay_step is None or decay_step <= 0:
+        return m
+    epoch = jnp.asarray(epoch, jnp.float32)
+    decayed = base * jnp.power(jnp.asarray(decay, jnp.float32),
+                               jnp.floor(epoch / decay_step))
+    decayed = jnp.maximum(decayed, 0.01)
+    # reference only applies decay from epoch >= 1
+    return jnp.where(epoch >= 1, decayed, m)
+
+
+class BatchNorm(nn.Module):
+    """Torch-semantics batch norm over the trailing channel axis.
+
+    Differences from ``flax.linen.BatchNorm`` that matter for parity:
+      * momentum is a call argument (traced), enabling the epoch-decay schedule,
+      * torch convention ``running = (1 - m) * running + m * batch`` with the
+        *unbiased* batch variance feeding the running stats and the *biased* one
+        normalizing the activations (torch F.batch_norm semantics).
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool,
+                 momentum: Array | float = 0.1) -> Array:
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            reduce_axes = tuple(range(x.ndim - 1))
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=reduce_axes)
+            var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+            count = x.size // self.features
+            unbiased = var * (count / max(count - 1, 1))
+            if not self.is_initializing():
+                m = jnp.asarray(momentum, jnp.float32)
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
+class PointwiseLayer(nn.Module):
+    """Dense + optional norm + optional activation over the channel axis.
+
+    The TPU-native form of ``EquivariantLayer`` (models/layers.py:248-303) and
+    ``MyConv2d`` with 1x1 kernels (models/layers.py:172-216): operating channels-last,
+    a 1x1 conv over (B, C, N) or (B, C, M, K) is exactly a Dense on (..., C).
+    """
+
+    features: int
+    activation: Optional[str] = "relu"
+    normalization: Optional[str] = "batch"
+    kernel_init: nn.initializers.Initializer = HE_NORMAL
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False,
+                 bn_momentum: Array | float = 0.1) -> Array:
+        y = nn.Dense(self.features, kernel_init=self.kernel_init,
+                     bias_init=nn.initializers.zeros, name="dense")(x)
+        if self.normalization == "batch":
+            y = BatchNorm(self.features, name="norm")(
+                y, use_running_average=not train, momentum=bn_momentum)
+        elif self.normalization == "instance":
+            # stats per (batch, channel) over spatial axes; affine like the reference
+            reduce_axes = tuple(range(1, y.ndim - 1))
+            mu = jnp.mean(y, axis=reduce_axes, keepdims=True)
+            var = jnp.var(y, axis=reduce_axes, keepdims=True)
+            g = self.param("in_scale", nn.initializers.ones, (self.features,))
+            b = self.param("in_bias", nn.initializers.zeros, (self.features,))
+            y = (y - mu) * jax.lax.rsqrt(var + 1e-5) * g + b
+        elif self.normalization is not None:
+            raise ValueError(f"unknown normalization {self.normalization!r}")
+        return activation_fn(self.activation)(y)
+
+
+class SharedMLP(nn.Module):
+    """Stack of PointwiseLayers; the last layer is linear (no norm/act), matching
+    ``PointNet`` (models/layers.py:524-544)."""
+
+    features: Sequence[int]
+    activation: Optional[str] = "relu"
+    normalization: Optional[str] = "batch"
+    last_linear: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False,
+                 bn_momentum: Array | float = 0.1) -> Array:
+        n = len(self.features)
+        for i, c in enumerate(self.features):
+            last = self.last_linear and i == n - 1
+            x = PointwiseLayer(
+                c,
+                activation=None if last else self.activation,
+                normalization=None if last else self.normalization,
+                name=f"layer{i}",
+            )(x, train=train, bn_momentum=bn_momentum)
+        return x
+
+
+class PointNetFusion(nn.Module):
+    """pre-MLP -> global max -> concat -> post-MLP (models/layers.py:592-631).
+
+    Operates on (..., N, C); the max is over the N axis (axis=-2).
+    """
+
+    features_before: Sequence[int]
+    features_after: Sequence[int]
+    activation: Optional[str] = "relu"
+    normalization: Optional[str] = "batch"
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False,
+                 bn_momentum: Array | float = 0.1) -> Array:
+        for i, c in enumerate(self.features_before):
+            x = PointwiseLayer(c, activation=self.activation,
+                               normalization=self.normalization,
+                               name=f"before{i}")(x, train, bn_momentum)
+        x_max = jnp.max(x, axis=-2, keepdims=True)
+        y = jnp.concatenate([x, jnp.broadcast_to(x_max, x.shape)], axis=-1)
+        n = len(self.features_after)
+        for i, c in enumerate(self.features_after):
+            last = i == n - 1
+            y = PointwiseLayer(c, activation=None if last else self.activation,
+                               normalization=None if last else self.normalization,
+                               name=f"after{i}")(y, train, bn_momentum)
+        return y
