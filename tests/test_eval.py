@@ -1,0 +1,157 @@
+"""Eval-stack tests: NMS oracle, repeatability golden values, RANSAC recovery of a
+known transform, registration success protocol."""
+
+import numpy as np
+import pytest
+
+from usip_tpu.eval import (apply_transform, ensure_keypoint_number,
+                           evaluate_registration, kabsch, match_descriptors_1nn,
+                           nms, pair_repeatability, ransac_rigid,
+                           read_keypoints_bin, select_keypoints,
+                           transform_error, write_keypoints_bin)
+
+
+def _nms_oracle(kp, sig, radius):
+    """numpy transcription of save_keypoints.py:180-216."""
+    if radius < 0.01:
+        return kp, sig
+    out_kp, out_sig = [], []
+    kp, sig = kp.copy(), sig.copy()
+    while kp.shape[0] > 0:
+        i = np.argmin(sig)
+        out_kp.append(kp[i].copy())
+        out_sig.append(sig[i])
+        mask = np.linalg.norm(kp - kp[i], axis=1) > radius
+        kp, sig = kp[mask], sig[mask]
+    return np.stack(out_kp), np.asarray(out_sig)
+
+
+def test_nms_matches_oracle(rng):
+    kp = rng.normal(size=(50, 3)).astype(np.float32)
+    sig = rng.uniform(0.1, 2.0, size=50).astype(np.float32)
+    got_kp, got_sig = nms(kp, sig, 0.4)
+    ref_kp, ref_sig = _nms_oracle(kp, sig, 0.4)
+    np.testing.assert_allclose(got_kp, ref_kp)
+    np.testing.assert_allclose(got_sig, ref_sig)
+    # no two kept keypoints within the radius
+    d = np.linalg.norm(got_kp[:, None] - got_kp[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    assert (d > 0.4).all()
+
+
+def test_nms_disabled_below_min_radius(rng):
+    kp = rng.normal(size=(10, 3)).astype(np.float32)
+    sig = rng.uniform(size=10).astype(np.float32)
+    got_kp, got_sig = nms(kp, sig, 0.0)
+    np.testing.assert_array_equal(got_kp, kp)
+
+
+def test_ensure_keypoint_number(rng):
+    kp = rng.normal(size=(5, 3)).astype(np.float32)
+    pc = rng.normal(size=(100, 3)).astype(np.float32)
+    grown = ensure_keypoint_number(kp, pc, 12, rng)
+    assert grown.shape == (12, 3)
+    np.testing.assert_array_equal(grown[:5], kp)
+    shrunk = ensure_keypoint_number(kp, pc, 3, rng)
+    assert shrunk.shape == (3, 3)
+
+
+def test_select_keypoints_ranks_by_sigma(rng):
+    kp = rng.normal(size=(30, 3)).astype(np.float32) * 10
+    sig = np.arange(30).astype(np.float32)
+    pc = rng.normal(size=(100, 3)).astype(np.float32)
+    out = select_keypoints(kp, sig, pc, nms_radius=0.0, desired_num=8, rng=rng)
+    np.testing.assert_allclose(out, kp[:8])  # smallest sigmas first
+
+
+def test_keypoints_bin_roundtrip(tmp_path, rng):
+    kp = rng.normal(size=(17, 3)).astype(np.float32)
+    p = str(tmp_path / "a" / "0.bin")
+    write_keypoints_bin(p, kp)
+    np.testing.assert_array_equal(read_keypoints_bin(p), kp)
+
+
+def _random_rigid(rng):
+    A = rng.normal(size=(3, 3))
+    q, _ = np.linalg.qr(A)
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    t = rng.normal(size=3)
+    T = np.eye(4)
+    T[:3, :3], T[:3, 3] = q, t
+    return T
+
+
+def test_pair_repeatability_golden(rng):
+    anc = rng.normal(size=(20, 3)).astype(np.float64)
+    T = _random_rigid(rng)
+    # pos keypoints = anc mapped into pos frame (T maps pos->anc)
+    Tinv = np.linalg.inv(T)
+    pos = apply_transform(anc, Tinv)
+    # perfect correspondence -> repeatability 1
+    assert pair_repeatability(anc, pos, T, 0.5) == 1.0
+    # move half the pos keypoints far away
+    pos2 = pos.copy()
+    pos2[:10] += 100.0
+    assert pair_repeatability(anc, pos2, T, 0.5) == pytest.approx(0.5)
+
+
+def test_kabsch_exact(rng):
+    x2 = rng.normal(size=(40, 3))
+    T = _random_rigid(rng)
+    x1 = apply_transform(x2, T)
+    R, t = kabsch(x1, x2)
+    np.testing.assert_allclose(R, T[:3, :3], atol=1e-8)
+    np.testing.assert_allclose(t, T[:3, 3], atol=1e-8)
+
+
+def test_ransac_recovers_under_outliers(rng):
+    x2 = rng.normal(size=(200, 3)) * 10
+    T = _random_rigid(rng)
+    x1 = apply_transform(x2, T)
+    # corrupt 60% of matches
+    bad = rng.choice(200, 120, replace=False)
+    x1 = x1.copy()
+    x1[bad] = rng.normal(size=(120, 3)) * 10
+    res = ransac_rigid(x1, x2, threshold=0.5, max_trials=2000, seed=1)
+    rte, rre = transform_error(T, res.R, res.t)
+    assert rte < 0.1 and rre < 1.0
+    assert res.inliers.size >= 75
+
+
+def test_transform_error_zero():
+    T = np.eye(4)
+    rte, rre = transform_error(T, np.eye(3), np.zeros(3))
+    assert rte == 0.0 and rre == pytest.approx(0.0, abs=1e-9)
+
+
+def test_evaluate_registration_protocol(rng):
+    """Descriptive descriptors + clean geometry -> 100% success; garbage
+    descriptors -> failures counted."""
+    pairs = []
+    for i in range(3):
+        kp2 = rng.normal(size=(64, 3)) * 10
+        T = _random_rigid(rng)
+        kp1 = apply_transform(kp2, T)
+        desc = rng.normal(size=(64, 16))
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        pairs.append((kp1, desc, kp2, desc, T))
+    stats = evaluate_registration(pairs, threshold=0.5, max_trials=500)
+    assert stats.success_rate == 1.0
+    assert stats.rte_mean < 0.05 and stats.rre_mean < 0.5
+
+    # mismatched descriptors: matching is random -> registration fails
+    bad_pairs = []
+    for (kp1, desc, kp2, _, T) in pairs:
+        shuffled = desc[rng.permutation(64)]
+        bad_pairs.append((kp1, desc, kp2 + rng.normal(size=kp2.shape) * 5,
+                          shuffled, T))
+    bad = evaluate_registration(bad_pairs, threshold=0.5, max_trials=100)
+    assert bad.success_rate < 1.0
+
+
+def test_match_descriptors_1nn(rng):
+    a = rng.normal(size=(10, 4))
+    p = a[::-1].copy()  # exact reversed copies
+    m = match_descriptors_1nn(a, p)
+    np.testing.assert_array_equal(m[:, 1], np.arange(10)[::-1])

@@ -1,0 +1,145 @@
+"""Training-engine tests: loss decreases, schedules, checkpoint roundtrip,
+data-parallel parity on the virtual 8-device mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from usip_tpu.config import get_config
+from usip_tpu.data.synthetic import SyntheticDataset
+from usip_tpu.models import Detector
+from usip_tpu.parallel import make_mesh, replicate, shard_batch
+from usip_tpu.train import (DetectorBatch, TrainState, lr_at_epoch, make_adam,
+                            make_detector_eval_step, make_detector_infer,
+                            make_detector_train_step, restore_checkpoint,
+                            save_checkpoint, set_learning_rate)
+
+
+def _tiny_config():
+    return get_config(
+        "modelnet",
+        **{"data.input_pc_num": 128, "data.node_num": 16,
+           "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4,
+           "train.batch_size": 4, "train.lr": 1e-3})
+
+
+def _make_state(cfg, key):
+    model = Detector(cfg.detector)
+    n, m, s = cfg.data.input_pc_num, cfg.data.node_num, cfg.detector.surface_normal_len
+    dummy = (jnp.zeros((2, n, 3)), jnp.zeros((2, n, s)), jnp.zeros((2, m, 3)))
+    variables = model.init(key, *dummy, train=False)
+    return model, TrainState.create(variables, make_adam(cfg.train.lr))
+
+
+def _batch(cfg, seed=0):
+    ds = SyntheticDataset(size=8, input_pc_num=cfg.data.input_pc_num,
+                          surface_normal_len=cfg.detector.surface_normal_len,
+                          seed=3)
+    raw = ds.batch(np.random.default_rng(seed), cfg.train.batch_size)
+    return DetectorBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
+
+
+def test_detector_train_step_decreases_loss():
+    cfg = _tiny_config()
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_detector_train_step(cfg, model))
+    batch = _batch(cfg)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(60):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i),
+                              jnp.asarray(0))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    assert int(state.step) == 60
+
+
+def test_eval_and_infer_steps():
+    cfg = _tiny_config()
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    eval_step = jax.jit(make_detector_eval_step(cfg, model))
+    metrics = eval_step(state, _batch(cfg), jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    infer = jax.jit(make_detector_infer(cfg, model))
+    batch = _batch(cfg)
+    kp, sig = infer(state, batch.src_pc, batch.src_sn, jax.random.PRNGKey(3))
+    assert kp.shape == (cfg.train.batch_size, cfg.data.node_num, 3)
+    assert sig.shape == (cfg.train.batch_size, cfg.data.node_num)
+
+
+def test_lr_schedule():
+    assert lr_at_epoch(1e-3, 0, 40, 0.5) == 1e-3
+    assert lr_at_epoch(1e-3, 40, 40, 0.5) == 5e-4
+    assert lr_at_epoch(1e-3, 80, 40, 0.5) == 2.5e-4
+    assert lr_at_epoch(1e-3, 10000, 40, 0.5) == 1e-5  # floor
+
+
+def test_set_learning_rate_changes_updates():
+    cfg = _tiny_config()
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    state2 = set_learning_rate(state, 1e-5)
+    assert float(state2.opt_state.hyperparams["learning_rate"]) == pytest.approx(1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_config()
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_detector_train_step(cfg, model))
+    state, _ = step(state, _batch(cfg), jax.random.PRNGKey(9), jnp.asarray(0))
+    path = os.path.join(tmp_path, "ckpt.msgpack")
+    save_checkpoint(path, state, metadata={"epoch": 3})
+    _, fresh = _make_state(cfg, jax.random.PRNGKey(0))
+    restored, meta = restore_checkpoint(path, fresh)
+    assert meta["epoch"] == 3
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # batch stats too
+    for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                    jax.tree_util.tree_leaves(restored.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_data_parallel_matches_single_device():
+    """8-way sharded step: loss and gradients must match single-device to
+    reduction-order tolerance (ICI all-reduce vs local reduce)."""
+    from usip_tpu.train.steps import make_detector_loss_fn
+
+    cfg = _tiny_config().with_overrides(**{"train.batch_size": 8})
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    batch = _batch(cfg)
+    key = jax.random.PRNGKey(5)
+    loss_fn = make_detector_loss_fn(cfg, model)
+
+    def scalar_loss(params, batch_stats, batch):
+        loss, _ = loss_fn(params, batch_stats, batch, key, jnp.asarray(0))
+        return loss
+
+    grad_fn = jax.jit(jax.value_and_grad(scalar_loss))
+    l1, g1 = grad_fn(state.params, state.batch_stats, batch)
+
+    mesh = make_mesh(8)
+    rep = replicate(mesh, (state.params, state.batch_stats))
+    sharded_batch = DetectorBatch(*shard_batch(mesh, tuple(batch)))
+    l8, g8 = grad_fn(rep[0], rep[1], sharded_batch)
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-3)
+
+    # and the full Adam step stays numerically sane (sign-amplification on
+    # near-zero grads bounds differences by ~2*lr)
+    step = jax.jit(make_detector_train_step(cfg, model))
+    single_state, _ = step(state, batch, key, jnp.asarray(0))
+    multi_state, _ = step(replicate(mesh, state), sharded_batch, key,
+                          jnp.asarray(0))
+    lr = cfg.train.lr
+    for a, b in zip(jax.tree_util.tree_leaves(single_state.params),
+                    jax.tree_util.tree_leaves(multi_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3 * lr)

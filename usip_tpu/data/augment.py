@@ -161,12 +161,21 @@ def shared_augment(key: Array, packs, cfg: AugmentConfig, *,
     return out
 
 
-def random_height_scale(key: Array, pcs, low: float = 0.25, high: float = 1.2):
-    """Oxford's z-axis height scaling shared across copies
-    (oxford_detector_loader.py:188-192). pcs: list of (B, N, 3)."""
+def random_height_scale(key: Array, pcs, low: float = 0.25, high: float = 1.2,
+                        axis: int = 2):
+    """Oxford's up-axis height scaling shared across copies
+    (oxford_detector_loader.py:188-192). pcs: list of (B, N, 3).
+
+    The reference scales ENU z *before* the ENU->cam flip; in camera coordinates
+    (post-flip, how this framework stores oxford clouds) the up axis is y, so
+    callers pass ``axis=1`` there.
+    """
     b = pcs[0].shape[0]
     s = jax.random.uniform(key, (b,), minval=low, maxval=high)
-    factor = jnp.stack([jnp.ones_like(s), jnp.ones_like(s), s], -1)[:, None, :]
+    ones = jnp.ones_like(s)
+    cols = [ones, ones, ones]
+    cols[axis] = s
+    factor = jnp.stack(cols, -1)[:, None, :]
     return [pc * factor for pc in pcs]
 
 

@@ -1,0 +1,19 @@
+from usip_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    jit_train_step,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "jit_train_step",
+    "make_mesh",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,69 @@
+"""Device mesh + sharding for data-parallel training over ICI.
+
+The TPU-native replacement of the reference's ``nn.DataParallel`` wrapping
+(models/keypoint_detector.py:34-37): a 1-D ``data`` mesh, batch dimension sharded,
+parameters/optimizer state replicated. Gradients all-reduce over ICI automatically —
+XLA inserts the psum from the sharding propagation, no process groups, no
+checkpoint-key shims (params are a host-invariant pytree).
+
+The SURVEY's 'sequence-parallel' analog (§2.5) — sharding the point dimension N of
+the dense distance matrices — composes on top by adding a second mesh axis; the ops
+in usip_tpu.ops are written shard_map-compatible (pure, shape-polymorphic) for that.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              devices: Optional[list] = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over the data mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch (pytree of arrays, leading batch axis) onto the mesh."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree (train state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh) if isinstance(x, (jax.Array, np.ndarray))
+        else x, tree)
+
+
+def jit_train_step(step_fn, mesh: Mesh, donate_state: bool = True):
+    """jit a ``(state, batch, *args) -> (state, metrics)`` step for the mesh.
+
+    State replicated, batch sharded on the data axis; the returned program is one
+    SPMD executable — grads all-reduce over ICI inside it.
+    """
+    kwargs = {}
+    if donate_state:
+        kwargs["donate_argnums"] = (0,)
+    return jax.jit(step_fn, **kwargs)

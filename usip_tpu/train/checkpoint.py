@@ -1,0 +1,79 @@
+"""Checkpointing: full train state (params + batch_stats + optimizer + step),
+atomic writes, exact resume.
+
+Upgrades the reference's ``torch.save(state_dict)`` (keypoint_detector.py:348-351),
+which drops optimizer state/epoch/RNG and has no resume path (SURVEY.md §5.4).
+Format: flax msgpack of the state pytree + a small json sidecar with metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None) -> None:
+    """Serialize a TrainState (or any pytree) to ``path`` (.msgpack) atomically."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "step": _to_host(state.step),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+    }
+    data = serialization.to_bytes(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    if metadata is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(metadata, f, indent=2, default=str)
+
+
+def restore_checkpoint(path: str, state: Any) -> Tuple[Any, Optional[Dict]]:
+    """Restore into a template TrainState (shapes/treedef must match)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    template = {
+        "step": _to_host(state.step),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+    }
+    payload = serialization.from_bytes(template, data)
+    new_state = state.replace(
+        step=jax.numpy.asarray(payload["step"]),
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        opt_state=jax.tree_util.tree_map(
+            lambda t, v: v, state.opt_state, payload["opt_state"]),
+    )
+    meta = None
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return new_state, meta
+
+
+def save_params_only(path: str, params: Any) -> None:
+    """Inference-only export (the reference's `{epoch}_net_detector.pth` analog)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(_to_host(params)))
+    os.replace(tmp, path)
+
+
+def load_params_only(path: str, template: Any) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(_to_host(template), f.read())

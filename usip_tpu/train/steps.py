@@ -1,0 +1,290 @@
+"""Jitted siamese train/eval steps for the detector and descriptor.
+
+One XLA program per step: on-device node FPS, shared augmentation, GT transform,
+siamese forward over the concatenated batch (keypoint_detector.py:141-156), losses,
+gradient, Adam update. The host only ships raw fixed-shape clouds and a PRNG key —
+this subsumes the reference's DataLoader-worker augmentation + FPS hot loops
+(SURVEY.md §3.1) into the compiled step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from usip_tpu import losses
+from usip_tpu.config import Config
+from usip_tpu.data import augment
+from usip_tpu.models import Descriptor, Detector
+from usip_tpu.nn.layers import bn_momentum_schedule
+from usip_tpu.ops import apply_se3, sample_nodes
+from usip_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+class DetectorBatch(NamedTuple):
+    """Raw host batch: two independent samples of each cloud (both un-augmented)."""
+
+    src_pc: Array   # (B, N, 3)
+    src_sn: Array   # (B, N, S)
+    dst_pc: Array   # (B, N, 3)
+    dst_sn: Array   # (B, N, S)
+
+
+def _prepare_detector_inputs(key: Array, batch: DetectorBatch, cfg: Config,
+                             train: bool):
+    """Device-side data prep: height scale -> node FPS -> shared augment ->
+    GT transform on dst. Returns src/dst packs + GT SE3."""
+    k_height, k_node_s, k_node_d, k_shared, k_se3 = jax.random.split(key, 5)
+    src_pc, src_sn = batch.src_pc, batch.src_sn
+    dst_pc, dst_sn = batch.dst_pc, batch.dst_sn
+    aug = cfg.augment
+    if train and aug.height_scale:
+        # clouds are stored in camera coords; the reference's ENU-z scale is cam-y
+        src_pc, dst_pc = augment.random_height_scale(
+            k_height, [src_pc, dst_pc], aug.height_scale_low,
+            aug.height_scale_high, axis=1)
+    src_node = sample_nodes(k_node_s, src_pc, cfg.data.node_num,
+                            cfg.data.fps_subsample_ratio)
+    dst_node = sample_nodes(k_node_d, dst_pc, cfg.data.node_num,
+                            cfg.data.fps_subsample_ratio)
+    if train:
+        packs = augment.shared_augment(
+            k_shared, [(src_pc, src_sn, src_node), (dst_pc, dst_sn, dst_node)],
+            aug, scale_low=aug.aug_scale_low, scale_high=aug.aug_scale_high,
+            shared_jitter=aug.shared_jitter)
+        (src_pc, src_sn, src_node), (dst_pc, dst_sn, dst_node) = packs
+    # GT transform always applies to the dst copy (loaders do it in __getitem__
+    # for both train and test modes)
+    dst_pc, dst_sn, dst_node, gt = augment.random_se3(
+        k_se3, dst_pc, dst_sn, dst_node, rot_type=aug.rot_type,
+        scale_thre=aug.gt_scale_thre, shift_thre=aug.gt_shift_thre,
+        rot_perturbation=aug.rot_perturbation)
+    return (src_pc, src_sn, src_node), (dst_pc, dst_sn, dst_node), gt
+
+
+def _detector_losses(cfg: Config, src_out, dst_out, src_pc, src_sn, dst_pc, dst_sn,
+                     gt) -> Tuple[Array, Dict[str, Array]]:
+    """Chamfer + keypoint-on-pc objective (keypoint_detector.py:182-204)."""
+    (_, src_kp, src_sig) = src_out
+    (_, dst_kp, dst_sig) = dst_out
+    src_kp_t = apply_se3(src_kp, gt.R, gt.scale, gt.shift)
+    chamfer = losses.chamfer_probabilistic(src_kp_t, dst_kp, src_sig, dst_sig)
+    alpha = cfg.loss.keypoint_on_pc_alpha
+    if cfg.loss.keypoint_on_pc_type == "point_to_plane":
+        on_pc_src = jnp.mean(losses.point_on_surface(src_kp, src_pc, src_sn)) * alpha
+        on_pc_dst = jnp.mean(losses.point_on_surface(dst_kp, dst_pc, dst_sn)) * alpha
+    else:
+        on_pc_src = jnp.mean(losses.single_side_chamfer(src_kp, src_pc)) * alpha
+        on_pc_dst = jnp.mean(losses.single_side_chamfer(dst_kp, dst_pc)) * alpha
+    total = chamfer.loss + on_pc_src + on_pc_dst
+    metrics = {
+        "loss": total,
+        "chamfer": chamfer.loss,
+        "chamfer_pure": chamfer.chamfer_pure,
+        "chamfer_weighted": chamfer.chamfer_weighted,
+        "keypoint_on_pc": on_pc_src + on_pc_dst,
+        "sigma_mean": jnp.mean(jnp.concatenate([src_sig, dst_sig], axis=1)),
+        "sigma_min": jnp.min(src_sig),
+        "sigma_max": jnp.max(src_sig),
+    }
+    return total, metrics
+
+
+def _siamese_apply(model: Detector, variables, src, dst, train: bool,
+                   bn_momentum) -> Tuple[Any, Any, Any]:
+    """Run both copies through one batched forward (keypoint_detector.py:141-156)."""
+    b = src[0].shape[0]
+    pc = jnp.concatenate([src[0], dst[0]], axis=0)
+    sn = jnp.concatenate([src[1], dst[1]], axis=0)
+    node = jnp.concatenate([src[2], dst[2]], axis=0)
+    if train:
+        (anchors, kp, sig), mutated = model.apply(
+            variables, pc, sn, node, train=True, bn_momentum=bn_momentum,
+            mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        anchors, kp, sig = model.apply(variables, pc, sn, node, train=False)
+        new_stats = variables.get("batch_stats")
+    split = lambda x: (x[:b], x[b:])
+    (s_anc, d_anc), (s_kp, d_kp), (s_sig, d_sig) = split(anchors), split(kp), split(sig)
+    return ((s_anc, s_kp, s_sig), (d_anc, d_kp, d_sig)), new_stats
+
+
+def make_detector_train_step(cfg: Config, model: Detector):
+    """Returns jit-ready ``step(state, batch, key, epoch) -> (state, metrics)``."""
+
+    def train_step(state: TrainState, batch: DetectorBatch, key: Array,
+                   epoch: Array):
+        k_prep, k_drop = jax.random.split(key)
+        src, dst, gt = _prepare_detector_inputs(k_prep, batch, cfg, train=True)
+        momentum = bn_momentum_schedule(
+            cfg.train.bn_momentum, epoch, cfg.train.bn_momentum_decay_step,
+            cfg.train.bn_momentum_decay)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (src_out, dst_out), new_stats = _siamese_apply(
+                model, variables, src, dst, train=True, bn_momentum=momentum)
+            total, metrics = _detector_losses(
+                cfg, src_out, dst_out, src[0], src[1], dst[0], dst[1], gt)
+            return total, (new_stats, metrics)
+
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_stats)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_detector_loss_fn(cfg: Config, model: Detector):
+    """Pure ``(params, batch_stats, batch, key, epoch) -> (loss, metrics)`` on the
+    train data path (eval-mode BN, no stats mutation). Used for gradient-parity
+    tests and diagnostics."""
+
+    def loss_fn(params, batch_stats, batch: DetectorBatch, key: Array, epoch):
+        src, dst, gt = _prepare_detector_inputs(key, batch, cfg, train=True)
+        variables = {"params": params, "batch_stats": batch_stats}
+        (src_out, dst_out), _ = _siamese_apply(
+            model, variables, src, dst, train=False, bn_momentum=0.0)
+        return _detector_losses(cfg, src_out, dst_out, src[0], src[1],
+                                dst[0], dst[1], gt)
+
+    return loss_fn
+
+
+def make_detector_eval_step(cfg: Config, model: Detector):
+    """Eval step (test_model, keypoint_detector.py:209-241): no augment, running
+    BN stats, same losses."""
+
+    def eval_step(state: TrainState, batch: DetectorBatch, key: Array):
+        src, dst, gt = _prepare_detector_inputs(key, batch, cfg, train=False)
+        (src_out, dst_out), _ = _siamese_apply(
+            model, state.variables, src, dst, train=False, bn_momentum=0.0)
+        _, metrics = _detector_losses(
+            cfg, src_out, dst_out, src[0], src[1], dst[0], dst[1], gt)
+        return metrics
+
+    return eval_step
+
+
+def make_detector_infer(cfg: Config, model: Detector):
+    """Inference fn (run_model, keypoint_detector.py:247-251): nodes sampled on
+    device, returns keypoints + sigmas."""
+
+    def infer(state: TrainState, pc: Array, sn: Array, key: Array):
+        node = sample_nodes(key, pc, cfg.data.node_num,
+                            cfg.data.fps_subsample_ratio)
+        _, kp, sig = model.apply(state.variables, pc, sn, node, train=False)
+        return kp, sig
+
+    return infer
+
+
+# ------------------------------------------------------------- descriptor ----
+
+
+class DescriptorBatch(NamedTuple):
+    """Anchor/positive pair for descriptor training. ``neg_idx`` permutes the
+    anchor batch to form negatives (in-batch mining,
+    oxford_descriptor_loader.py:231-281 / models/keypoint_descriptor.py:149-151)."""
+
+    anc_pc: Array    # (B, N, 3)
+    anc_sn: Array    # (B, N, S)
+    pos_pc: Array    # (B, N, 3)
+    pos_sn: Array    # (B, N, S)
+    neg_idx: Array   # (B,) int32
+
+
+def make_descriptor_train_step(cfg: Config, detector: Detector,
+                               descriptor: Descriptor, use_cgf: bool = False):
+    """Returns ``step(desc_state, det_state, batch, key, epoch)``.
+
+    The detector is frozen (run under stop_gradient / eval mode) and produces
+    keypoints + sigmas for both scans; the descriptor trains with the scan triplet
+    loss (outdoor) or the CGF keypoint triplet (indoor, use_cgf=True, where the
+    anchor is GT-aligned to pos via a device-side random SE3 like
+    scenenn_descriptor_loader.py:276-278).
+    """
+
+    def train_step(desc_state: TrainState, det_state: TrainState,
+                   batch: DescriptorBatch, key: Array, epoch: Array):
+        (k_node_a, k_node_p, k_se3, k_ball_a, k_ball_p, k_ball_n,
+         k_cgf) = jax.random.split(key, 7)
+        aug = cfg.augment
+        anc_pc, anc_sn = batch.anc_pc, batch.anc_sn
+        pos_pc, pos_sn = batch.pos_pc, batch.pos_sn
+        gt = None
+        if use_cgf:
+            # indoor: pos copy gets a GT transform; anchor keypoints are aligned
+            # into the pos frame for the CGF loss
+            anc_node = sample_nodes(k_node_a, anc_pc, cfg.data.node_num,
+                                    cfg.data.fps_subsample_ratio)
+            pos_pc, pos_sn, _, gt = augment.random_se3(
+                k_se3, pos_pc, pos_sn,
+                jnp.zeros((pos_pc.shape[0], 1, 3), pos_pc.dtype),
+                rot_type=aug.rot_type, scale_thre=aug.gt_scale_thre,
+                shift_thre=aug.gt_shift_thre,
+                rot_perturbation=aug.rot_perturbation)
+            pos_node = sample_nodes(k_node_p, pos_pc, cfg.data.node_num,
+                                    cfg.data.fps_subsample_ratio)
+        else:
+            anc_node = sample_nodes(k_node_a, anc_pc, cfg.data.node_num,
+                                    cfg.data.fps_subsample_ratio)
+            pos_node = sample_nodes(k_node_p, pos_pc, cfg.data.node_num,
+                                    cfg.data.fps_subsample_ratio)
+
+        # frozen detector inference (run_model_siamese, no grad)
+        det_vars = jax.lax.stop_gradient(det_state.variables)
+        b = anc_pc.shape[0]
+        pc = jnp.concatenate([anc_pc, pos_pc], axis=0)
+        sn = jnp.concatenate([anc_sn, pos_sn], axis=0)
+        node = jnp.concatenate([anc_node, pos_node], axis=0)
+        _, kp, sig = detector.apply(det_vars, pc, sn, node, train=False)
+        anc_kp, pos_kp = kp[:b], kp[b:]
+        anc_sig = sig[:b]
+
+        momentum = bn_momentum_schedule(
+            cfg.train.bn_momentum, epoch, cfg.train.bn_momentum_decay_step,
+            cfg.train.bn_momentum_decay)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": desc_state.batch_stats}
+
+            def run(pcb, snb, kpb, kball, variables):
+                return descriptor.apply(
+                    variables, pcb, snb, kpb, key=kball, train=True,
+                    bn_momentum=momentum, mutable=["batch_stats"])
+
+            (anc_desc, _), mut1 = run(anc_pc, anc_sn, anc_kp, k_ball_a, variables)
+            variables = {"params": params, "batch_stats": mut1["batch_stats"]}
+            (pos_desc, _), mut2 = run(pos_pc, pos_sn, pos_kp, k_ball_p, variables)
+            new_stats = mut2["batch_stats"]
+            if use_cgf:
+                anc_kp_aligned = apply_se3(anc_kp, gt.R, gt.scale, gt.shift)
+                loss_bm, active = losses.desc_cgf_loss(
+                    anc_kp_aligned, anc_desc, pos_kp, pos_desc, anc_sig, k_cgf,
+                    cgf_radius=cfg.loss.cgf_radius,
+                    gamma=cfg.loss.triple_loss_gamma,
+                    sigma_max=cfg.loss.sigma_max)
+            else:
+                neg_desc = anc_desc[batch.neg_idx]
+                loss_bm, active = losses.desc_pair_scan_loss(
+                    anc_desc, pos_desc, neg_desc, anc_sig,
+                    gamma=cfg.loss.triple_loss_gamma,
+                    sigma_max=cfg.loss.sigma_max)
+            total = jnp.mean(loss_bm)
+            metrics = {"loss": total, "active_percentage": jnp.mean(active)}
+            return total, (new_stats, metrics)
+
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(desc_state.params)
+        new_state = desc_state.apply_gradients(grads, new_stats)
+        return new_state, metrics
+
+    return train_step
