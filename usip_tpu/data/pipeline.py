@@ -1,0 +1,78 @@
+"""Host->device input pipeline: threaded batch assembly with prefetch.
+
+Replaces the reference's ``DataLoader(num_workers=nThreads)`` processes: since
+augmentation/FPS moved on-device, the host work per item is just file IO +
+subsampling, which a small thread pool covers. Batches are prefetched ahead of the
+training step so the TPU never waits on the host."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def collate(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class BatchLoader:
+    """Iterates shuffled fixed-size batches with background prefetch.
+
+    Args:
+      dataset: indexable with __len__ and __getitem__ -> dict of arrays.
+      batch_size: items per batch (drops the remainder, like the reference's
+        drop_last=True train loaders).
+      shuffle: reshuffle indices each epoch.
+      num_workers: item-fetch thread pool size.
+      prefetch: max batches buffered ahead.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 4, prefetch: int = 4, seed: int = 0,
+                 post_collate: Optional[Callable] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.post_collate = post_collate
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        n = len(self) * self.batch_size
+        return idx[:n].reshape(-1, self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._epoch_indices()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for row in batches:
+                    items = list(pool.map(self.dataset.__getitem__,
+                                          [int(i) for i in row]))
+                    batch = collate(items)
+                    if self.post_collate is not None:
+                        batch = self.post_collate(batch, row)
+                    q.put(batch)
+            q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,99 @@
+"""Batched keypoint export over an eval dataset: jitted inference -> host NMS /
+sigma ranking -> per-frame .bin tree (the reference's save_keypoints.py main loop,
+:229-414)."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from usip_tpu.config import Config
+from usip_tpu.data.pipeline import BatchLoader
+from usip_tpu.eval.export import select_keypoints, write_keypoints_bin
+from usip_tpu.train.checkpoint import restore_checkpoint
+from usip_tpu.train.loop import init_detector_state
+from usip_tpu.train.steps import make_detector_infer
+
+
+def make_eval_dataset(cfg: Config, synthetic: bool = False, seed: int = 0):
+    if synthetic:
+        from usip_tpu.data.synthetic import SyntheticDataset
+
+        class _Wrap:
+            def __init__(self):
+                self.base = SyntheticDataset(
+                    size=16, input_pc_num=cfg.data.input_pc_num,
+                    surface_normal_len=cfg.detector.surface_normal_len, seed=seed)
+
+            def __len__(self):
+                return len(self.base)
+
+            def __getitem__(self, i):
+                item = self.base[i]
+                return {"pc": item["src_pc"], "sn": item["src_sn"],
+                        "seq": np.int64(0), "frame": np.int64(i)}
+
+        return _Wrap()
+    name = cfg.data.dataset
+    from usip_tpu.data import eval_loaders as el
+    sn = cfg.detector.surface_normal_len
+    if name == "kitti":
+        return el.KittiTestFrames(
+            cfg.data, txt_root=os.path.join(cfg.data.dataroot, "kitti-reg-test"),
+            numpy_root=os.path.join(cfg.data.dataroot, "data_odometry_velodyne",
+                                    "numpy"), sn_len=sn)
+    if name == "oxford":
+        return el.OxfordTestFrames(cfg.data, sn_len=sn)
+    if name == "scenenn":
+        return el.RedwoodFrames(cfg.data, sn_len=sn)
+    if name == "match3d":
+        return el.Match3DEvalFrames(cfg.data, sn_len=sn)
+    if name in ("modelnet", "shrec"):
+        return el.ModelNetRotatedFrames(cfg.data, sn_len=sn)
+    raise KeyError(name)
+
+
+def run_export(cfg: Config, checkpoint: str, out_dir: str,
+               nms_radius: float = 0.0, desired_num: int = 128,
+               synthetic: bool = False, batch_size: Optional[int] = None,
+               dataset=None, timing: bool = True) -> dict:
+    """Returns summary stats (frames, mean keypoint count, clouds/sec)."""
+    model, state = init_detector_state(cfg, cfg.train.seed)
+    state, _ = restore_checkpoint(checkpoint, state)
+    infer = jax.jit(make_detector_infer(cfg, model))
+
+    ds = dataset if dataset is not None else make_eval_dataset(cfg, synthetic)
+    bs = batch_size or cfg.train.batch_size
+    loader = BatchLoader(ds, bs, shuffle=False, num_workers=4)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(123)
+
+    frames = 0
+    counts = []
+    t_start = None
+    for i, raw in enumerate(loader):
+        kp, sig = infer(state, jnp.asarray(raw["pc"]), jnp.asarray(raw["sn"]),
+                        jax.random.fold_in(key, i))
+        kp, sig = np.asarray(kp), np.asarray(sig)
+        if i == 0:
+            t_start = time.perf_counter()  # exclude compile
+        for b in range(kp.shape[0]):
+            selected = select_keypoints(kp[b], sig[b], raw["pc"][b],
+                                        nms_radius=nms_radius,
+                                        desired_num=desired_num, rng=rng)
+            counts.append(selected.shape[0])
+            seq, frame = int(raw["seq"][b]), int(raw["frame"][b])
+            path = os.path.join(out_dir, f"{seq:02d}", f"{frame}.bin")
+            write_keypoints_bin(path, selected)
+            frames += 1
+    elapsed = time.perf_counter() - (t_start or time.perf_counter())
+    done_after_first = max(frames - bs, 1)
+    stats = {"frames": frames,
+             "mean_keypoints": float(np.mean(counts)) if counts else 0.0,
+             "clouds_per_sec": done_after_first / elapsed if elapsed > 0 else 0.0}
+    return stats

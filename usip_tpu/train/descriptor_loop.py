@@ -1,0 +1,143 @@
+"""Descriptor training engine: frozen detector -> keypoints -> descriptor triplet
+training (reference oxford/kitti/scenenn train_descriptor.py, unified)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from usip_tpu.config import Config
+from usip_tpu.data.pipeline import BatchLoader
+from usip_tpu.models import Descriptor, Detector
+from usip_tpu.parallel import make_mesh, replicate, shard_batch
+from usip_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from usip_tpu.train.loop import init_detector_state
+from usip_tpu.train.state import (TrainState, lr_at_epoch, make_adam,
+                                  set_learning_rate)
+from usip_tpu.train.steps import DescriptorBatch, make_descriptor_train_step
+from usip_tpu.utils.logging import MetricsLogger, RunningAverages
+
+
+def init_descriptor_state(cfg: Config, seed: int = 0):
+    model = Descriptor(cfg.descriptor)
+    n, m = cfg.data.input_pc_num, cfg.data.node_num
+    s = cfg.descriptor.surface_normal_len
+    dummy_pc = jnp.zeros((2, n, 3))
+    dummy_sn = jnp.zeros((2, n, s))
+    dummy_kp = jnp.zeros((2, m, 3))
+    variables = model.init(jax.random.PRNGKey(seed), dummy_pc, dummy_sn,
+                           dummy_kp, key=jax.random.PRNGKey(0), train=False)
+    return model, TrainState.create(variables, make_adam(cfg.train.lr))
+
+
+class _SyntheticPairDataset:
+    """Synthetic anchor/positive pairs for smoke runs: two samplings of the same
+    shape; negatives are any other batch entry."""
+
+    def __init__(self, cfg: Config, size: int = 32, seed: int = 0):
+        from usip_tpu.data.synthetic import SyntheticDataset
+        self.base = SyntheticDataset(size=size,
+                                     input_pc_num=cfg.data.input_pc_num,
+                                     surface_normal_len=cfg.descriptor.surface_normal_len,
+                                     seed=seed)
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, index):
+        item = self.base[index]
+        return {"anc_pc": item["src_pc"], "anc_sn": item["src_sn"],
+                "pos_pc": item["dst_pc"], "pos_sn": item["dst_sn"],
+                "index": np.int64(index)}
+
+
+class DescriptorEngine:
+    def __init__(self, cfg: Config, detector_checkpoint: str,
+                 train_loader: Optional[BatchLoader] = None,
+                 mine_negatives=None, use_cgf: Optional[bool] = None,
+                 synthetic: bool = False, out_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.out_dir = out_dir or os.path.join(cfg.train.checkpoint_dir,
+                                               cfg.train.name + "_descriptor")
+        os.makedirs(self.out_dir, exist_ok=True)
+        if use_cgf is None:
+            use_cgf = cfg.descriptor.use_global_context  # indoor pipeline
+        self.use_cgf = use_cgf
+
+        # frozen detector (reference loads + freeze_model,
+        # oxford/train_descriptor.py:70-77)
+        self.detector, det_state = init_detector_state(cfg, cfg.train.seed)
+        det_state, _ = restore_checkpoint(detector_checkpoint, det_state)
+        self.det_state = det_state
+
+        self.descriptor, state = init_descriptor_state(cfg, cfg.train.seed + 7)
+        self.mesh = make_mesh(cfg.train.num_devices) \
+            if cfg.train.num_devices > 1 else None
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+            self.det_state = replicate(self.mesh, self.det_state)
+        self.state = state
+
+        if train_loader is None:
+            if not synthetic:
+                raise ValueError("provide train_loader or synthetic=True")
+            ds = _SyntheticPairDataset(cfg)
+            train_loader = BatchLoader(ds, cfg.train.batch_size, shuffle=True,
+                                       num_workers=2)
+            mine_negatives = None
+        self.train_loader = train_loader
+        self.mine_negatives = mine_negatives
+
+        self.step_fn = jax.jit(
+            make_descriptor_train_step(cfg, self.detector, self.descriptor,
+                                       use_cgf=self.use_cgf),
+            donate_argnums=(0,))
+        self.logger = MetricsLogger(self.out_dir, cfg.train.name + "_desc")
+        self._key = jax.random.PRNGKey(cfg.train.seed + 13)
+
+    def _device_batch(self, raw: Dict[str, np.ndarray]) -> DescriptorBatch:
+        b = raw["anc_pc"].shape[0]
+        if self.mine_negatives is not None:
+            neg_idx = self.mine_negatives(raw)
+        else:
+            # default in-batch negatives: shifted permutation
+            neg_idx = (np.arange(b) + 1 + np.random.randint(0, b - 1)) % b \
+                if b > 1 else np.zeros(b, np.int64)
+        batch = DescriptorBatch(
+            anc_pc=raw["anc_pc"], anc_sn=raw["anc_sn"],
+            pos_pc=raw["pos_pc"], pos_sn=raw["pos_sn"],
+            neg_idx=np.asarray(neg_idx, np.int64))
+        if self.mesh is not None:
+            batch = DescriptorBatch(*shard_batch(self.mesh, tuple(batch)))
+        return batch
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        lr = lr_at_epoch(cfg.train.lr, epoch, cfg.train.lr_decay_step,
+                         cfg.train.lr_decay_ratio, cfg.train.lr_clip)
+        self.state = set_learning_rate(self.state, lr)
+        averages = RunningAverages()
+        for i, raw in enumerate(self.train_loader):
+            batch = self._device_batch(raw)
+            key = jax.random.fold_in(self._key, int(self.state.step))
+            self.state, metrics = self.step_fn(self.state, self.det_state,
+                                               batch, key, jnp.asarray(epoch))
+            if i % cfg.train.log_every == 0:
+                self.logger.log(int(self.state.step), epoch,
+                                {k: float(v) for k, v in metrics.items()},
+                                prefix="desc")
+            averages.update({k: float(v) for k, v in metrics.items()})
+        return averages.averages()
+
+    def fit(self, epochs: Optional[int] = None):
+        epochs = epochs or self.cfg.train.epochs
+        for epoch in range(epochs):
+            avg = self.train_epoch(epoch)
+            self.logger.log(int(self.state.step), epoch, avg, prefix="desc_epoch")
+            save_checkpoint(os.path.join(self.out_dir, "last.msgpack"),
+                            self.state, metadata={"epoch": epoch, **avg})
+        return self.state

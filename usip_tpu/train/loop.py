@@ -1,0 +1,140 @@
+"""Training engines: the epoch loops that the reference duplicates per dataset
+(modelnet/kitti/oxford/scenenn/match3d train_detector.py + train_descriptor.py),
+unified. Owns: loader iteration, device placement (mesh sharding), LR/BN schedules,
+per-epoch test sweeps with weighted averages, quality-gated checkpointing, metrics."""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from usip_tpu.config import Config
+from usip_tpu.models import Detector
+from usip_tpu.parallel import make_mesh, replicate, shard_batch
+from usip_tpu.train.checkpoint import save_checkpoint
+from usip_tpu.train.state import (TrainState, lr_at_epoch, make_adam,
+                                  set_learning_rate)
+from usip_tpu.train.steps import (DetectorBatch, make_detector_eval_step,
+                                  make_detector_train_step)
+from usip_tpu.utils.logging import MetricsLogger, RunningAverages, Throughput
+
+
+def init_detector_state(cfg: Config, seed: int = 0) -> tuple[Detector, TrainState]:
+    model = Detector(cfg.detector)
+    n, m = cfg.data.input_pc_num, cfg.data.node_num
+    s = cfg.detector.surface_normal_len
+    dummy = (jnp.zeros((2, n, 3)), jnp.zeros((2, n, s)), jnp.zeros((2, m, 3)))
+    variables = model.init(jax.random.PRNGKey(seed), *dummy, train=False)
+    return model, TrainState.create(variables, make_adam(cfg.train.lr))
+
+
+class DetectorEngine:
+    """End-to-end detector training (the reference's train_detector.py loops)."""
+
+    def __init__(self, cfg: Config, train_loader, test_loader=None,
+                 out_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.test_loader = test_loader
+        self.out_dir = out_dir or os.path.join(cfg.train.checkpoint_dir,
+                                               cfg.train.name)
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(os.path.join(self.out_dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+
+        self.model, state = init_detector_state(cfg, cfg.train.seed)
+        self.mesh = make_mesh(cfg.train.num_devices) \
+            if cfg.train.num_devices > 1 else None
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+        self.state = state
+        self.train_step = jax.jit(make_detector_train_step(cfg, self.model),
+                                  donate_argnums=(0,))
+        self.eval_step = jax.jit(make_detector_eval_step(cfg, self.model))
+        self.logger = MetricsLogger(self.out_dir, cfg.train.name)
+        self.throughput = Throughput(cfg.train.num_devices)
+        self.best_test_loss = float("inf")
+        self._key = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    def _device_batch(self, raw: Dict[str, np.ndarray]) -> DetectorBatch:
+        batch = DetectorBatch(src_pc=raw["src_pc"], src_sn=raw["src_sn"],
+                              dst_pc=raw["dst_pc"], dst_sn=raw["dst_sn"])
+        if self.mesh is not None:
+            batch = DetectorBatch(*shard_batch(self.mesh, tuple(batch)))
+        return batch
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        # epoch-level LR schedule (reference updates at epoch boundaries)
+        lr = lr_at_epoch(cfg.train.lr, epoch, cfg.train.lr_decay_step,
+                         cfg.train.lr_decay_ratio, cfg.train.lr_clip)
+        self.state = set_learning_rate(self.state, lr)
+        averages = RunningAverages()
+        self.throughput.reset()
+        for i, raw in enumerate(self.train_loader):
+            batch = self._device_batch(raw)
+            step_key = jax.random.fold_in(self._key, int(self.state.step))
+            self.state, metrics = self.train_step(self.state, batch, step_key,
+                                                  jnp.asarray(epoch))
+            # siamese step = 2 clouds per batch item
+            self.throughput.add(raw["src_pc"].shape[0] * 2)
+            if i % cfg.train.log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                host["lr"] = lr
+                host["clouds_per_sec_per_chip"] = self.throughput.rate()
+                self.logger.log(int(self.state.step), epoch, host, prefix="train")
+            averages.update({k: float(v) for k, v in metrics.items()},
+                            weight=raw["src_pc"].shape[0])
+        return averages.averages()
+
+    def test_epoch(self, epoch: int) -> Dict[str, float]:
+        if self.test_loader is None:
+            return {}
+        averages = RunningAverages()
+        for i, raw in enumerate(self.test_loader):
+            batch = self._device_batch(raw)
+            metrics = self.eval_step(self.state, batch,
+                                     jax.random.fold_in(self._key, 10_000_000 + i))
+            averages.update({k: float(v) for k, v in metrics.items()},
+                            weight=raw["src_pc"].shape[0])
+        avg = averages.averages()
+        if avg:
+            self.logger.log(int(self.state.step), epoch, avg, prefix="test")
+        return avg
+
+    def maybe_save(self, epoch: int, test_metrics: Dict[str, float],
+                   chamfer_gate: Optional[float] = None,
+                   min_epoch: int = 0) -> bool:
+        """Quality-gated best-checkpoint save (kitti/train_detector.py:148-150:
+        best loss AND chamfer_pure below gate AND epoch past warmup)."""
+        loss = test_metrics.get("loss", float("inf"))
+        improved = loss < self.best_test_loss
+        if improved:
+            self.best_test_loss = loss
+        gate_ok = (chamfer_gate is None
+                   or test_metrics.get("chamfer_pure", float("inf")) < chamfer_gate)
+        if improved and gate_ok and epoch >= min_epoch:
+            save_checkpoint(os.path.join(self.out_dir, "best.msgpack"),
+                            self.state,
+                            metadata={"epoch": epoch, **test_metrics})
+            return True
+        return False
+
+    def fit(self, epochs: Optional[int] = None,
+            chamfer_gate: Optional[float] = None, min_epoch: int = 0):
+        epochs = epochs or self.cfg.train.epochs
+        for epoch in range(epochs):
+            train_avg = self.train_epoch(epoch)
+            self.logger.log(int(self.state.step), epoch, train_avg,
+                            prefix="train_epoch")
+            test_avg = self.test_epoch(epoch)
+            self.maybe_save(epoch, test_avg, chamfer_gate, min_epoch)
+            if self.cfg.train.save_every_epochs and \
+                    epoch % self.cfg.train.save_every_epochs == 0:
+                save_checkpoint(os.path.join(self.out_dir, "last.msgpack"),
+                                self.state, metadata={"epoch": epoch, **test_avg})
+        return self.state
