@@ -164,7 +164,7 @@ def _masked_max_oracle(f, ids, m):
     return out.astype(f.dtype), arg, occupied
 
 
-@pytest.mark.parametrize("backend", ["native", "onehot"])
+@pytest.mark.parametrize("backend", ["fast", "native", "onehot"])
 def test_masked_scatter_max_value(rng, backend):
     b, n, c, m = 2, 64, 6, 9
     f = rng.normal(size=(b, n, c)).astype(np.float32)
@@ -192,6 +192,27 @@ def test_masked_scatter_max_gradient(rng, backend):
         for cc in range(c):
             if occupied[0, mm, cc]:
                 expect[0, arg[0, mm, cc], cc] += 1.0
+    np.testing.assert_allclose(g, expect, atol=1e-6)
+
+
+def test_masked_scatter_max_fast_gradient_total(rng):
+    """'fast' splits tie gradients instead of first-argmax; totals per distinct
+    value must still match the oracle's totals."""
+    b, n, c, m = 1, 12, 3, 4
+    f = rng.normal(size=(b, n, c)).astype(np.float32)
+    ids = rng.integers(0, m, size=(b, n)).astype(np.int32)
+
+    def loss(x):
+        return jnp.sum(ops.masked_scatter_max(x, jnp.asarray(ids), m, "fast"))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(f)))
+    _, arg, occupied = _masked_max_oracle(f, ids, m)
+    expect = np.zeros_like(f)
+    for mm in range(m):
+        for cc in range(c):
+            if occupied[0, mm, cc]:
+                expect[0, arg[0, mm, cc], cc] += 1.0
+    # no ties in random data -> identical to first-argmax gradient
     np.testing.assert_allclose(g, expect, atol=1e-6)
 
 

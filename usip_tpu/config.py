@@ -41,6 +41,11 @@ class DetectorConfig:
     normalization: str = "batch"
     # sigma = softplus(head) + lower bound (networks.py:154)
     sigma_lower_bound: float = 1e-3
+    # trunk/fusion matmul compute dtype ('bfloat16' rides the MXU at full rate;
+    # geometry/distances/head stay fp32). Params are always fp32.
+    compute_dtype: str = "bfloat16"
+    # masked scatter-max backend: 'fast' | 'native' | 'onehot' (ops/segment.py)
+    scatter_backend: str = "fast"
 
 
 @dataclass(frozen=True)
@@ -55,6 +60,7 @@ class DescriptorConfig:
     surface_normal_len: int = 4
     activation: str = "relu"
     normalization: str = "batch"
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

@@ -42,6 +42,7 @@ class Descriptor(nn.Module):
         """Returns (descriptors (B, M, len), ball features (B, M, K, 3+S))."""
         cfg = self.cfg
         d = cfg.descriptor_len
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         if cfg.surface_normal_len > 0:
             x_aug = jnp.concatenate([pc, sn], axis=-1)
         else:
@@ -56,16 +57,16 @@ class Descriptor(nn.Module):
         h = feats
         for i, c in enumerate((d // 4, d // 2, d)):            # conv1..conv3
             h = PointwiseLayer(c, activation=cfg.activation,
-                               normalization=cfg.normalization,
+                               normalization=cfg.normalization, dtype=dt,
                                name=f"conv{i + 1}")(h, train, bn_momentum)
         h_max = jnp.max(h, axis=-2, keepdims=True)             # (B, M, 1, d)
         y = jnp.concatenate([h, jnp.broadcast_to(h_max, h.shape)], axis=-1)
         y = PointwiseLayer(d, activation=cfg.activation,
-                           normalization=cfg.normalization,
+                           normalization=cfg.normalization, dtype=dt,
                            name="conv4")(y, train, bn_momentum)
         y = PointwiseLayer(d, activation=None, normalization=None,
                            name="conv5")(y)
-        desc = jnp.max(y, axis=-2)                             # (B, M, d)
+        desc = jnp.max(y, axis=-2).astype(jnp.float32)         # (B, M, d)
 
         if cfg.use_global_context:
             # PPFNet global fusion (networks.py:471-475)

@@ -54,6 +54,7 @@ class KNNFusionOnNodes(nn.Module):
     k: int
     activation: str = "relu"
     normalization: Optional[str] = "batch"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, query: Array, database: Array, x: Array,
@@ -67,14 +68,16 @@ class KNNFusionOnNodes(nn.Module):
         for i, c in enumerate(self.features_before):
             h = PointwiseLayer(c, activation=self.activation,
                                normalization=self.normalization,
+                               dtype=self.dtype,
                                name=f"before{i}")(h, train, bn_momentum)
         h_max = jnp.max(h, axis=-2, keepdims=True)             # (B, M, 1, C')
         y = jnp.concatenate([jnp.broadcast_to(h_max, h.shape), h], axis=-1)
         for i, c in enumerate(self.features_after):
             y = PointwiseLayer(c, activation=self.activation,
                                normalization=self.normalization,
+                               dtype=self.dtype,
                                name=f"after{i}")(y, train, bn_momentum)
-        return jnp.max(y, axis=-2)                             # (B, M, C2)
+        return jnp.max(y, axis=-2).astype(jnp.float32)         # (B, M, C2)
 
 
 class KeypointHead(nn.Module):
@@ -100,6 +103,10 @@ class KeypointHead(nn.Module):
         return keypoints, sigmas
 
 
+def _dtype_of(cfg) -> "jnp.dtype | None":
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
 class Detector(nn.Module):
     """USIP keypoint detector; grouping variant selected by ``cfg.grouping``."""
 
@@ -122,6 +129,7 @@ class Detector(nn.Module):
             k=cfg.node_knn_k,
             activation=cfg.activation,
             normalization=cfg.normalization,
+            dtype=_dtype_of(cfg),
             name="knnlayer",
         )(anchors, anchors, feat, train, bn_momentum)
         aggregated = jnp.concatenate([feat, knn_feature], axis=-1)  # (B, M, C1+C2)
@@ -152,15 +160,20 @@ class Detector(nn.Module):
         else:
             x_aug = decentered
         c1 = cfg.c1
+        dt = _dtype_of(cfg)
         f1 = SharedMLP((c1 // 2,) * 3, activation=cfg.activation,
-                       normalization=cfg.normalization, name="first_pointnet")(
+                       normalization=cfg.normalization, dtype=dt,
+                       name="first_pointnet")(
             x_aug, train, bn_momentum)                              # (B, kN, C1/2)
-        n1 = masked_scatter_max(f1, ids, m) * occ                   # (B, M, C1/2)
+        f1 = f1.astype(jnp.float32)
+        n1 = masked_scatter_max(f1, ids, m, cfg.scatter_backend) * occ
         s1 = scatter_back(n1, ids)                                  # (B, kN, C1/2)
         f2 = SharedMLP((c1, c1), activation=cfg.activation,
-                       normalization=cfg.normalization, name="second_pointnet")(
+                       normalization=cfg.normalization, dtype=dt,
+                       name="second_pointnet")(
             jnp.concatenate([f1, s1], axis=-1), train, bn_momentum)  # (B, kN, C1)
-        n2 = masked_scatter_max(f2, ids, m) * occ                   # (B, M, C1)
+        f2 = f2.astype(jnp.float32)
+        n2 = masked_scatter_max(f2, ids, m, cfg.scatter_backend) * occ
         return cluster_mean, n2
 
     def _group_trunk(self, pc, sn, node, train, bn_momentum):
@@ -178,16 +191,17 @@ class Detector(nn.Module):
         g_xyz = g[..., 0:3] - node[:, :, None, :]
         g = jnp.concatenate([g_xyz, g[..., 3:]], axis=-1)
         c1 = cfg.c1
+        dt = _dtype_of(cfg)
         h = g
         for i in range(3):  # conv1..conv3, all with act+norm
             h = PointwiseLayer(c1 // 2, activation=cfg.activation,
-                               normalization=cfg.normalization,
+                               normalization=cfg.normalization, dtype=dt,
                                name=f"conv{i + 1}")(h, train, bn_momentum)
         h_max = jnp.max(h, axis=-2, keepdims=True)
         y = jnp.concatenate([h, jnp.broadcast_to(h_max, h.shape)], axis=-1)
         for i in range(3, 5):  # conv4, conv5, with act+norm
             y = PointwiseLayer(c1, activation=cfg.activation,
-                               normalization=cfg.normalization,
+                               normalization=cfg.normalization, dtype=dt,
                                name=f"conv{i + 1}")(y, train, bn_momentum)
-        feat = jnp.max(y, axis=-2)                                  # (B, M, C1)
+        feat = jnp.max(y, axis=-2).astype(jnp.float32)              # (B, M, C1)
         return node, feat

@@ -94,8 +94,8 @@ class BatchNorm(nn.Module):
                 m = jnp.asarray(momentum, jnp.float32)
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
                 ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class PointwiseLayer(nn.Module):
@@ -110,12 +110,15 @@ class PointwiseLayer(nn.Module):
     activation: Optional[str] = "relu"
     normalization: Optional[str] = "batch"
     kernel_init: nn.initializers.Initializer = HE_NORMAL
+    # matmul compute dtype (params stay fp32); bf16 rides the MXU at full rate
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
                  bn_momentum: Array | float = 0.1) -> Array:
         y = nn.Dense(self.features, kernel_init=self.kernel_init,
-                     bias_init=nn.initializers.zeros, name="dense")(x)
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="dense")(x)
         if self.normalization == "batch":
             y = BatchNorm(self.features, name="norm")(
                 y, use_running_average=not train, momentum=bn_momentum)
@@ -140,6 +143,7 @@ class SharedMLP(nn.Module):
     activation: Optional[str] = "relu"
     normalization: Optional[str] = "batch"
     last_linear: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -151,6 +155,7 @@ class SharedMLP(nn.Module):
                 c,
                 activation=None if last else self.activation,
                 normalization=None if last else self.normalization,
+                dtype=self.dtype,
                 name=f"layer{i}",
             )(x, train=train, bn_momentum=bn_momentum)
         return x

@@ -73,21 +73,41 @@ def _masked_max_onehot(f: Array, ids: Array, num_segments: int,
     return out.reshape(pad_m, c)[:num_segments]
 
 
+def _masked_max_fast(f: Array, ids: Array, num_segments: int) -> Array:
+    """One scatter-max; relies on JAX's native scatter-max gradient.
+
+    3x fewer scatter ops than the 'native' argmax-gather path. Gradient semantics
+    differ from the CUDA kernel only on exact ties, where JAX splits the cograd
+    among tied points instead of crediting the first — identical total gradient
+    per distinct input value (ties come from pad-duplicated points), so training
+    is distribution-equivalent.
+    """
+    neg = jnp.asarray(-jnp.inf, f.dtype)
+    seg = jax.ops.segment_max(f, ids, num_segments=num_segments,
+                              indices_are_sorted=False)
+    return jnp.where(jnp.isneginf(seg), 0.0, seg)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def masked_scatter_max(f: Array, ids: Array, num_segments: int,
-                       backend: str = "native") -> Array:
+                       backend: str = "fast") -> Array:
     """Per-node channel max of point features (index_max replacement).
 
     Args:
       f: ``(B, N, C)`` point features.
       ids: ``(B, N)`` int32 node assignment in ``[0, num_segments)``.
       num_segments: M, number of nodes.
-      backend: 'native' (XLA scatter) or 'onehot' (scatter-free broadcast/reduce).
+      backend: 'fast' (single XLA scatter-max, native gradient — default),
+        'native' (argmax-gather, reference-exact first-argmax gradient), or
+        'onehot' (scatter-free broadcast/reduce; FORWARD-ONLY — its gradient
+        makes XLA materialize an O(N*M*C) intermediate at KITTI scale).
 
     Returns:
       ``(B, M, C)``; empty nodes are exactly 0.
     """
-    if backend == "native":
+    if backend == "fast":
+        fn = _masked_max_fast
+    elif backend == "native":
         fn = _masked_max_native
     elif backend == "onehot":
         fn = _masked_max_onehot
