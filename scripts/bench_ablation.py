@@ -42,14 +42,3 @@ def fps_only(pc, k):
     return ops.sample_nodes(k, pc, m, 8)
 timeloop("fps only", lambda i: fps_only(pc, jax.random.fold_in(key, i)))
 
-# train step cost
-from usip_tpu.train import DetectorBatch, TrainState, make_adam, make_detector_train_step
-state = TrainState.create(variables, make_adam(1e-3))
-step = jax.jit(make_detector_train_step(cfg, model))
-batch = DetectorBatch(src_pc=pc, src_sn=sn, dst_pc=pc, dst_sn=sn)
-st = state
-def run_step(i):
-    global st
-    st, metrics = step(st, batch, jax.random.fold_in(key, i), jnp.asarray(0))
-    return metrics["loss"]
-timeloop("full train step (siamese, b=8)", run_step, iters=20)

@@ -1,0 +1,67 @@
+"""Baseline keypoint detector tests: corners of a box are ISS/Harris keypoints,
+flat faces are not."""
+
+import numpy as np
+import pytest
+
+from usip_tpu.eval.baselines import (baseline_keypoints, harris3d_keypoints,
+                                     iss_keypoints, random_keypoints)
+
+
+def _box_cloud(rng, per_face=400, jitter=0.0):
+    """Axis-aligned unit box surface sampling."""
+    pts = []
+    for axis in range(3):
+        for sign in (-1.0, 1.0):
+            uv = rng.uniform(-1, 1, size=(per_face, 2))
+            p = np.zeros((per_face, 3))
+            p[:, axis] = sign
+            others = [a for a in range(3) if a != axis]
+            p[:, others[0]] = uv[:, 0]
+            p[:, others[1]] = uv[:, 1]
+            pts.append(p)
+    pc = np.concatenate(pts)
+    if jitter:
+        pc = pc + rng.normal(scale=jitter, size=pc.shape)
+    return pc.astype(np.float64)
+
+
+def test_random_keypoints(rng):
+    pc = rng.normal(size=(100, 3))
+    kp = random_keypoints(rng, pc, 10)
+    assert kp.shape == (10, 3)
+    rows = {tuple(r) for r in pc}
+    assert all(tuple(r) in rows for r in kp)
+
+
+def test_iss_finds_corners(rng):
+    # jittered box: faces have finite lambda3, so edge/corner saliency dominates
+    # (a perfect box has lambda3 == 0 everywhere, degenerate for ISS NMS)
+    pc = _box_cloud(rng, jitter=0.02)
+    kp = iss_keypoints(pc, salient_radius=0.4, non_max_radius=0.4,
+                       gamma_21=0.9, gamma_32=0.9, min_neighbors=5)
+    assert kp.shape[0] > 0
+    # detected keypoints concentrate on edges/corners (>=2 coords near +-1)
+    near_extreme = (np.abs(np.abs(kp) - 1.0) < 0.25).sum(axis=1)
+    assert (near_extreme >= 2).mean() > 0.6
+    rand = pc[rng.choice(len(pc), len(kp), replace=False)]
+    rand_extreme = (np.abs(np.abs(rand) - 1.0) < 0.25).sum(axis=1)
+    assert near_extreme.mean() > rand_extreme.mean()
+
+
+def test_harris_response_positive_on_corners(rng):
+    pc = _box_cloud(rng, jitter=0.02)
+    kp = harris3d_keypoints(pc, radius=0.4, min_neighbors=5)
+    assert kp.shape[0] > 0
+    near_extreme = (np.abs(np.abs(kp) - 1.0) < 0.25).sum(axis=1)
+    assert (near_extreme >= 2).mean() > 0.5
+
+
+def test_dispatch(rng):
+    pc = rng.normal(size=(50, 3))
+    kp = baseline_keypoints("random", pc, rng, num=5)
+    assert kp.shape == (5, 3)
+    with pytest.raises(NotImplementedError):
+        baseline_keypoints("sift", pc)
+    with pytest.raises(KeyError):
+        baseline_keypoints("nope", pc)

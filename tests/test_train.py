@@ -143,3 +143,28 @@ def test_data_parallel_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(single_state.params),
                     jax.tree_util.tree_leaves(multi_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3 * lr)
+
+
+def test_random_point_dropout_path():
+    """Dropout-enabled train step runs and keeps shapes; duplicates appear."""
+    import jax.numpy as jnp
+    from usip_tpu.train.steps import _random_point_dropout
+
+    cfg = _tiny_config().with_overrides(
+        **{"train.random_pc_dropout_lower_limit": 0.5})
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_detector_train_step(cfg, model))
+    state, metrics = step(state, _batch(cfg), jax.random.PRNGKey(4),
+                          jnp.asarray(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # direct check of the resampling: dropped rows become duplicates of kept rows
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    sn = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    (opc, osn), = _random_point_dropout(jax.random.PRNGKey(1), [(pc, sn)], 0.5)
+    assert opc.shape == pc.shape
+    orig = {tuple(r) for r in np.asarray(pc[0])}
+    assert all(tuple(r) in orig for r in np.asarray(opc[0]))
+    n_unique = len({tuple(r) for r in np.asarray(opc[0])})
+    assert n_unique < 64  # some rows were replaced by duplicates

@@ -1,0 +1,132 @@
+"""Classical keypoint baselines for the export tool.
+
+The reference exposes ISS / Harris / SIFT / random baselines through the external
+PCLKeypoint package (evaluation/save_keypoints.py:44-63,289-325); this module
+provides dependency-free Python implementations of the ones the USIP evaluation
+actually compares against: 'random' and ISS (Intrinsic Shape Signatures) and a
+Harris-3D response detector. SIFT-3D requires a scale pyramid library; it is
+intentionally not re-implemented (gate with method='sift' raising)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+
+def random_keypoints(rng: np.random.Generator, pc: np.ndarray,
+                     num: int) -> np.ndarray:
+    """Uniform random subset of the cloud (the 'random' method)."""
+    idx = rng.choice(pc.shape[0], min(num, pc.shape[0]), replace=False)
+    return pc[idx]
+
+
+def _neighbor_lists(pc: np.ndarray, radius: float):
+    tree = cKDTree(pc)
+    return tree, tree.query_ball_point(pc, r=radius)
+
+
+def iss_keypoints(pc: np.ndarray, salient_radius: float = 2.0,
+                  non_max_radius: float = 2.0, gamma_21: float = 0.975,
+                  gamma_32: float = 0.975, min_neighbors: int = 5,
+                  max_keypoints: Optional[int] = None) -> np.ndarray:
+    """ISS detector (Zhong 2009), matching PCL's ISSKeypoint3D semantics that the
+    reference invokes (save_keypoints.py:291-301).
+
+    Weighted scatter matrix per point (weights 1/|neighborhood|), eigenvalues
+    l1 >= l2 >= l3; keypoint iff l2/l1 < gamma_21 and l3/l2 < gamma_32; saliency
+    l3; non-max suppression within non_max_radius.
+    """
+    n = pc.shape[0]
+    tree, neighborhoods = _neighbor_lists(pc, salient_radius)
+    # per-point weights = 1 / neighbor count
+    counts = np.asarray([len(nb) for nb in neighborhoods], np.float64)
+    weights = 1.0 / np.maximum(counts, 1.0)
+
+    saliency = np.full(n, -np.inf)
+    for i in range(n):
+        nb = neighborhoods[i]
+        if len(nb) < min_neighbors:
+            continue
+        nb = np.asarray(nb)
+        diff = pc[nb] - pc[i]
+        w = weights[nb][:, None]
+        cov = (diff * w).T @ diff / np.sum(weights[nb])
+        evals = np.linalg.eigvalsh(cov)[::-1]  # descending l1 >= l2 >= l3
+        l1, l2, l3 = evals
+        if l1 <= 0:
+            continue
+        if (l2 / l1) < gamma_21 and (l3 / max(l2, 1e-12)) < gamma_32:
+            saliency[i] = l3
+    candidates = np.nonzero(np.isfinite(saliency))[0]
+    if candidates.size == 0:
+        return np.empty((0, 3), pc.dtype)
+    # non-max suppression: keep if strictly the max saliency in its radius
+    keep = []
+    cand_tree = cKDTree(pc[candidates])
+    cand_sal = saliency[candidates]
+    for ci, gi in enumerate(candidates):
+        nb = cand_tree.query_ball_point(pc[gi], r=non_max_radius)
+        if cand_sal[ci] >= cand_sal[nb].max():
+            keep.append(gi)
+    kp = pc[np.asarray(keep)]
+    if max_keypoints is not None and kp.shape[0] > max_keypoints:
+        order = np.argsort(-saliency[np.asarray(keep)])
+        kp = kp[order[:max_keypoints]]
+    return kp
+
+
+def harris3d_keypoints(pc: np.ndarray, radius: float = 1.0,
+                       nms_radius: Optional[float] = None, k: float = 0.04,
+                       threshold: float = 0.0, min_neighbors: int = 5,
+                       max_keypoints: Optional[int] = None) -> np.ndarray:
+    """Harris-3D response on the normal-scatter matrix (PCL HarrisKeypoint3D
+    style): R = det(C) - k * trace(C)^2 over the neighborhood covariance."""
+    n = pc.shape[0]
+    nms_radius = nms_radius if nms_radius is not None else radius
+    tree, neighborhoods = _neighbor_lists(pc, radius)
+    response = np.full(n, -np.inf)
+    for i in range(n):
+        nb = neighborhoods[i]
+        if len(nb) < min_neighbors:
+            continue
+        diff = pc[np.asarray(nb)] - pc[np.asarray(nb)].mean(0)
+        cov = diff.T @ diff / len(nb)
+        r = np.linalg.det(cov) - k * np.trace(cov) ** 2
+        if r > threshold:
+            response[i] = r
+    candidates = np.nonzero(np.isfinite(response))[0]
+    if candidates.size == 0:
+        return np.empty((0, 3), pc.dtype)
+    keep = []
+    cand_tree = cKDTree(pc[candidates])
+    cand_resp = response[candidates]
+    for ci, gi in enumerate(candidates):
+        nb = cand_tree.query_ball_point(pc[gi], r=nms_radius)
+        if cand_resp[ci] >= cand_resp[nb].max():
+            keep.append(gi)
+    kp = pc[np.asarray(keep)]
+    if max_keypoints is not None and kp.shape[0] > max_keypoints:
+        order = np.argsort(-response[np.asarray(keep)])
+        kp = kp[order[:max_keypoints]]
+    return kp
+
+
+def baseline_keypoints(method: str, pc: np.ndarray,
+                       rng: Optional[np.random.Generator] = None,
+                       **kwargs) -> np.ndarray:
+    """Dispatch like the reference export tool's method switch
+    (save_keypoints.py:289-325)."""
+    if method == "random":
+        return random_keypoints(rng or np.random.default_rng(), pc,
+                                kwargs.get("num", 128))
+    if method == "iss":
+        return iss_keypoints(pc, **kwargs)
+    if method == "harris":
+        return harris3d_keypoints(pc, **kwargs)
+    if method == "sift":
+        raise NotImplementedError(
+            "SIFT-3D baseline requires a scale-pyramid implementation; use the "
+            "reference's PCLKeypoint export if SIFT numbers are needed")
+    raise KeyError(f"unknown baseline method {method!r}")

@@ -35,14 +35,45 @@ class DetectorBatch(NamedTuple):
     dst_sn: Array   # (B, N, S)
 
 
+def _random_point_dropout(key: Array, pcs_sns, lower_limit: float):
+    """Fixed-shape random point dropout (keypoint_detector.py:161-169).
+
+    The reference shrinks the cloud to a random keep-ratio; XLA needs static
+    shapes, so dropped points are instead *replaced by resampled kept points*
+    (duplicates). For the max-pool/min-distance ops downstream this is
+    behavior-equivalent to removal; cluster means see mild duplicate weighting.
+    One keep-ratio per step like the reference (a python ``random.uniform``).
+    """
+    k_ratio, k_perm, k_fill = jax.random.split(key, 3)
+    n = pcs_sns[0][0].shape[1]
+    ratio = jax.random.uniform(k_ratio, (), minval=lower_limit, maxval=1.0)
+    keep = jnp.round(ratio * n).astype(jnp.int32)
+    perm = jax.random.permutation(k_perm, n)         # shared across batch, like
+    kept_rank = jnp.argsort(perm)                    # the reference's np.choice
+    fill = jax.random.randint(k_fill, (n,), 0, jnp.maximum(keep, 1))
+    # position i keeps itself if its rank < keep, else takes a random kept point
+    kept_positions = perm                            # positions in kept order
+    replacement = kept_positions[fill]               # (n,) indices of kept pts
+    idx = jnp.where(kept_rank < keep, jnp.arange(n), replacement)
+    out = []
+    for pc, sn in pcs_sns:
+        out.append((pc[:, idx, :], sn[:, idx, :]))
+    return out
+
+
 def _prepare_detector_inputs(key: Array, batch: DetectorBatch, cfg: Config,
                              train: bool):
-    """Device-side data prep: height scale -> node FPS -> shared augment ->
-    GT transform on dst. Returns src/dst packs + GT SE3."""
-    k_height, k_node_s, k_node_d, k_shared, k_se3 = jax.random.split(key, 5)
+    """Device-side data prep: dropout -> height scale -> node FPS ->
+    shared augment -> GT transform on dst. Returns src/dst packs + GT SE3."""
+    k_drop, k_height, k_node_s, k_node_d, k_shared, k_se3 = \
+        jax.random.split(key, 6)
     src_pc, src_sn = batch.src_pc, batch.src_sn
     dst_pc, dst_sn = batch.dst_pc, batch.dst_sn
     aug = cfg.augment
+    if train and cfg.train.random_pc_dropout_lower_limit < 0.99:
+        (src_pc, src_sn), (dst_pc, dst_sn) = _random_point_dropout(
+            k_drop, [(src_pc, src_sn), (dst_pc, dst_sn)],
+            cfg.train.random_pc_dropout_lower_limit)
     if train and aug.height_scale:
         # clouds are stored in camera coords; the reference's ENU-z scale is cam-y
         src_pc, dst_pc = augment.random_height_scale(
