@@ -79,10 +79,15 @@ def iss_keypoints(pc: np.ndarray, salient_radius: float = 2.0,
 
 def harris3d_keypoints(pc: np.ndarray, radius: float = 1.0,
                        nms_radius: Optional[float] = None, k: float = 0.04,
-                       threshold: float = 0.0, min_neighbors: int = 5,
+                       threshold: Optional[float] = None, min_neighbors: int = 5,
                        max_keypoints: Optional[int] = None) -> np.ndarray:
-    """Harris-3D response on the normal-scatter matrix (PCL HarrisKeypoint3D
-    style): R = det(C) - k * trace(C)^2 over the neighborhood covariance."""
+    """Harris-3D response R = det(C) - k * trace(C)^2 over the neighborhood
+    covariance, NMS on local response maxima.
+
+    ``threshold=None`` (default) keeps ranking purely relative — the absolute R
+    value is scale-dependent (R < 0 everywhere on smooth surfaces at small
+    radii), so a fixed cutoff is only meaningful if the caller knows the cloud
+    scale."""
     n = pc.shape[0]
     nms_radius = nms_radius if nms_radius is not None else radius
     tree, neighborhoods = _neighbor_lists(pc, radius)
@@ -94,7 +99,7 @@ def harris3d_keypoints(pc: np.ndarray, radius: float = 1.0,
         diff = pc[np.asarray(nb)] - pc[np.asarray(nb)].mean(0)
         cov = diff.T @ diff / len(nb)
         r = np.linalg.det(cov) - k * np.trace(cov) ** 2
-        if r > threshold:
+        if threshold is None or r > threshold:
             response[i] = r
     candidates = np.nonzero(np.isfinite(response))[0]
     if candidates.size == 0:
