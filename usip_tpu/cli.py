@@ -101,6 +101,38 @@ def cmd_export_keypoints(args):
                synthetic=args.synthetic)
 
 
+def cmd_eval_repeatability(args):
+    import numpy as np
+    from usip_tpu.eval.eval_runner import (load_gt_npy_dir, load_kitti_gt_table,
+                                           run_repeatability)
+    if args.kitti_gt:
+        gt = []
+        for seq in (9, 10):
+            gt.extend(load_kitti_gt_table(args.kitti_gt, seq))
+    else:
+        gt = load_gt_npy_dir(args.gt_dir)
+    mean, arr = run_repeatability(args.anc_dir, args.pos_dir, gt,
+                                  inlier_radius=args.inlier_radius)
+    print(json.dumps({"repeatability": mean, "pairs": len(arr),
+                      "min": float(arr.min()), "max": float(arr.max())}))
+
+
+def cmd_eval_registration(args):
+    from usip_tpu.eval.eval_runner import (load_gt_npy_dir, load_kitti_gt_table,
+                                           run_registration)
+    if args.kitti_gt:
+        gt = []
+        for seq in (9, 10):
+            gt.extend(load_kitti_gt_table(args.kitti_gt, seq))
+    else:
+        gt = load_gt_npy_dir(args.gt_dir)
+    stats = run_registration(args.kp_dir, args.desc_dir, gt,
+                             desc_dim=args.desc_dim,
+                             threshold=args.inlier_threshold,
+                             max_trials=args.max_trials)
+    print(json.dumps(stats._asdict()))
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -126,6 +158,25 @@ def main(argv=None):
     p.add_argument("--nms-radius", type=float, default=0.0)
     p.add_argument("--num-keypoints", type=int, default=128)
     p.set_defaults(fn=cmd_export_keypoints)
+
+    p = sub.add_parser("eval-repeatability")
+    p.add_argument("--anc-dir", required=True)
+    p.add_argument("--pos-dir", required=True)
+    p.add_argument("--gt-dir", default=None)
+    p.add_argument("--kitti-gt", default=None,
+                   help="kitti-reg-test root with <seq>/groundtruths.txt")
+    p.add_argument("--inlier-radius", type=float, default=0.5)
+    p.set_defaults(fn=cmd_eval_repeatability)
+
+    p = sub.add_parser("eval-registration")
+    p.add_argument("--kp-dir", required=True)
+    p.add_argument("--desc-dir", required=True)
+    p.add_argument("--gt-dir", default=None)
+    p.add_argument("--kitti-gt", default=None)
+    p.add_argument("--desc-dim", type=int, default=128)
+    p.add_argument("--inlier-threshold", type=float, default=1.0)
+    p.add_argument("--max-trials", type=int, default=10000)
+    p.set_defaults(fn=cmd_eval_registration)
 
     p = sub.add_parser("bench")
     p.set_defaults(fn=cmd_bench)

@@ -1,0 +1,96 @@
+"""End-to-end metric runners over exported keypoint/descriptor .bin trees —
+the Python replacement of the MATLAB drivers (eval_rep.m, evaluate_kitti.m)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from usip_tpu.eval.export import read_keypoints_bin
+from usip_tpu.eval.registration import evaluate_registration
+from usip_tpu.eval.repeatability import dataset_repeatability
+
+
+def quat_to_rotm(q: np.ndarray) -> np.ndarray:
+    """w-x-y-z quaternion -> 3x3 rotation (MATLAB quat2rotm convention,
+    evaluate_kitti.m:89-91)."""
+    w, x, y, z = q
+    n = w * w + x * x + y * y + z * z
+    s = 0.0 if n == 0 else 2.0 / n
+    return np.array([
+        [1 - s * (y * y + z * z), s * (x * y - w * z), s * (x * z + w * y)],
+        [s * (x * y + w * z), 1 - s * (x * x + z * z), s * (y * z - w * x)],
+        [s * (x * z - w * y), s * (y * z + w * x), 1 - s * (x * x + y * y)],
+    ])
+
+
+def load_kitti_gt_table(txt_root: str, seq: int) -> List[Dict]:
+    """Rows of groundtruths.txt: anc pos tx ty tz qw qx qy qz -> T_gt (4x4)
+    mapping pos into the anc frame."""
+    rows = []
+    with open(os.path.join(txt_root, f"{seq:02d}", "groundtruths.txt")) as f:
+        for i, line in enumerate(f):
+            if i == 0:
+                continue
+            p = line.split()
+            if len(p) < 9:
+                continue
+            T = np.eye(4)
+            T[:3, :3] = quat_to_rotm(np.asarray(list(map(float, p[5:9]))))
+            T[:3, 3] = list(map(float, p[2:5]))
+            rows.append({"seq": seq, "anc_idx": int(p[0]), "pos_idx": int(p[1]),
+                         "T_gt": T})
+    return rows
+
+
+def run_repeatability(anc_dir: str, pos_dir: str, gt: List[Dict],
+                      inlier_radius: float = 0.5,
+                      dim: int = 3) -> Tuple[float, np.ndarray]:
+    """Repeatability over GT pairs; keypoints read from
+    ``<dir>/<seq:02d>/<frame>.bin`` trees (the export tool's layout)."""
+    pairs = []
+    for row in gt:
+        a = read_keypoints_bin(
+            os.path.join(anc_dir, f"{row['seq']:02d}", f"{row['anc_idx']}.bin"),
+            dim)
+        p = read_keypoints_bin(
+            os.path.join(pos_dir, f"{row['seq']:02d}", f"{row['pos_idx']}.bin"),
+            dim)
+        pairs.append((a[:, :3], p[:, :3], row["T_gt"]))
+    return dataset_repeatability(pairs, inlier_radius)
+
+
+def run_registration(kp_dir: str, desc_dir: str, gt: List[Dict],
+                     desc_dim: int = 128, threshold: float = 1.0,
+                     max_trials: int = 10000):
+    """Registration protocol over GT pairs; keypoints and descriptors read from
+    parallel .bin trees (evaluate_kitti.m:43-54)."""
+    pairs = []
+    for row in gt:
+        seq = f"{row['seq']:02d}"
+        a_kp = read_keypoints_bin(
+            os.path.join(kp_dir, seq, f"{row['anc_idx']}.bin"), 3)
+        p_kp = read_keypoints_bin(
+            os.path.join(kp_dir, seq, f"{row['pos_idx']}.bin"), 3)
+        a_d = read_keypoints_bin(
+            os.path.join(desc_dir, seq, f"{row['anc_idx']}.bin"), desc_dim)
+        p_d = read_keypoints_bin(
+            os.path.join(desc_dir, seq, f"{row['pos_idx']}.bin"), desc_dim)
+        pairs.append((a_kp, a_d, p_kp, p_d, row["T_gt"]))
+    return evaluate_registration(pairs, threshold=threshold,
+                                 max_trials=max_trials)
+
+
+def load_gt_npy_dir(gt_dir: str) -> List[Dict]:
+    """Generic GT layout: <gt_dir>/<i>.npy holding a 4x4 transform for pair i
+    (anc = <i>.bin in anc tree, pos = <i>.bin in pos tree, seq 0)."""
+    rows = []
+    for fn in sorted(os.listdir(gt_dir)):
+        if not fn.endswith(".npy"):
+            continue
+        i = int(os.path.splitext(fn)[0])
+        rows.append({"seq": 0, "anc_idx": i, "pos_idx": i,
+                     "T_gt": np.load(os.path.join(gt_dir, fn))})
+    return rows

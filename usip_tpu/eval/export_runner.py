@@ -58,6 +58,64 @@ def make_eval_dataset(cfg: Config, synthetic: bool = False, seed: int = 0):
     raise KeyError(name)
 
 
+def run_export_with_descriptors(cfg: Config, detector_checkpoint: str,
+                                descriptor_checkpoint: str, kp_out: str,
+                                desc_out: str, nms_radius: float = 0.0,
+                                desired_num: int = 128,
+                                synthetic: bool = False,
+                                batch_size: Optional[int] = None,
+                                dataset=None) -> dict:
+    """Export keypoints AND their descriptors as parallel .bin trees — the input
+    format of the registration eval (evaluate_kitti.m:43-54).
+
+    Keypoint selection (NMS + sigma top-K) happens first on host; the selected
+    fixed-size keypoint set then goes back through the descriptor on device.
+    """
+    from usip_tpu.models import Descriptor
+    from usip_tpu.train.descriptor_loop import init_descriptor_state
+
+    model, state = init_detector_state(cfg, cfg.train.seed)
+    state, _ = restore_checkpoint(detector_checkpoint, state)
+    infer = jax.jit(make_detector_infer(cfg, model))
+
+    desc_model, desc_state = init_descriptor_state(cfg, cfg.train.seed)
+    desc_state, _ = restore_checkpoint(descriptor_checkpoint, desc_state)
+
+    @jax.jit
+    def describe(pc, sn, kp, key):
+        desc, _ = desc_model.apply(desc_state.variables, pc, sn, kp, key=key,
+                                   train=False)
+        return desc
+
+    ds = dataset if dataset is not None else make_eval_dataset(cfg, synthetic)
+    bs = batch_size or cfg.train.batch_size
+    loader = BatchLoader(ds, bs, shuffle=False, num_workers=4)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(321)
+    frames = 0
+    for i, raw in enumerate(loader):
+        kp, sig = infer(state, jnp.asarray(raw["pc"]), jnp.asarray(raw["sn"]),
+                        jax.random.fold_in(key, 2 * i))
+        kp, sig = np.asarray(kp), np.asarray(sig)
+        selected = np.stack([
+            select_keypoints(kp[b], sig[b], raw["pc"][b],
+                             nms_radius=nms_radius, desired_num=desired_num,
+                             rng=rng)
+            for b in range(kp.shape[0])])
+        desc = describe(jnp.asarray(raw["pc"]), jnp.asarray(raw["sn"]),
+                        jnp.asarray(selected),
+                        jax.random.fold_in(key, 2 * i + 1))
+        desc = np.asarray(desc)
+        for b in range(selected.shape[0]):
+            seq, frame = int(raw["seq"][b]), int(raw["frame"][b])
+            write_keypoints_bin(
+                os.path.join(kp_out, f"{seq:02d}", f"{frame}.bin"), selected[b])
+            write_keypoints_bin(
+                os.path.join(desc_out, f"{seq:02d}", f"{frame}.bin"), desc[b])
+            frames += 1
+    return {"frames": frames}
+
+
 def run_export(cfg: Config, checkpoint: str, out_dir: str,
                nms_radius: float = 0.0, desired_num: int = 128,
                synthetic: bool = False, batch_size: Optional[int] = None,
