@@ -168,3 +168,27 @@ def test_random_point_dropout_path():
     assert all(tuple(r) in orig for r in np.asarray(opc[0]))
     n_unique = len({tuple(r) for r in np.asarray(opc[0])})
     assert n_unique < 64  # some rows were replaced by duplicates
+
+
+def test_descriptor_cgf_train_step(tmp_path):
+    """Indoor (CGF) descriptor training path: frozen detector -> global-context
+    descriptor -> CGF triplet, one step on CPU."""
+    from usip_tpu.train.checkpoint import save_checkpoint
+    from usip_tpu.train.descriptor_loop import DescriptorEngine
+
+    cfg = get_config(
+        "scenenn",
+        **{"data.input_pc_num": 128, "data.node_num": 16,
+           "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4,
+           "descriptor.descriptor_len": 16, "descriptor.ball_nsamples": 8,
+           "descriptor.ball_radius": 0.75, "descriptor.surface_normal_len": 4,
+           "train.batch_size": 2, "train.log_every": 1000})
+    assert cfg.descriptor.use_global_context  # scenenn preset is the indoor one
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    ckpt = os.path.join(tmp_path, "det.msgpack")
+    save_checkpoint(ckpt, state)
+    engine = DescriptorEngine(cfg, ckpt, synthetic=True,
+                              out_dir=os.path.join(tmp_path, "desc"))
+    assert engine.use_cgf
+    avg = engine.train_epoch(0)
+    assert np.isfinite(avg["loss"])

@@ -100,9 +100,13 @@ def keypoint_on_pc(keypoints: Array, pc: Array, sn: Optional[Array] = None) -> A
 # ---------------------------------------------------------------- descriptor ----
 
 def _sigma_weights(sigmas: Array, sigma_max: float) -> Array:
-    """clamp(sigma_max - sigma) normalized to mean 1, detached (losses.py:231-234)."""
+    """clamp(sigma_max - sigma) normalized to mean 1, detached (losses.py:231-234).
+
+    Guarded against an all-clamped batch (every sigma >= sigma_max — e.g. an
+    untrained detector), where the reference's bare division yields NaN.
+    """
     w = jnp.maximum(sigma_max - sigmas, 0.0)
-    w = w / jnp.mean(w, axis=1, keepdims=True)
+    w = w / jnp.maximum(jnp.mean(w, axis=1, keepdims=True), 1e-8)
     return jax.lax.stop_gradient(w)
 
 
