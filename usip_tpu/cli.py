@@ -32,6 +32,8 @@ def _add_common(p):
                    help="use the in-memory synthetic dataset (smoke runs)")
     p.add_argument("--override", action="append", default=[],
                    help="dotted config override, e.g. data.input_pc_num=4096")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of one steady-state step")
 
 
 def _build_config(args):
@@ -81,15 +83,45 @@ def cmd_train_detector(args):
     cfg = _build_config(args)
     from usip_tpu.train.loop import DetectorEngine
     train, test = _make_loaders(cfg, args, cfg.detector.surface_normal_len)
-    engine = DetectorEngine(cfg, train, test)
+    engine = DetectorEngine(cfg, train, test, profile_dir=args.profile_dir)
     engine.fit()
 
 
 def cmd_train_descriptor(args):
     cfg = _build_config(args)
     from usip_tpu.train.descriptor_loop import DescriptorEngine
-    engine = DescriptorEngine(cfg, args.detector_checkpoint,
-                              synthetic=args.synthetic)
+    if args.synthetic:
+        engine = DescriptorEngine(cfg, args.detector_checkpoint, synthetic=True)
+    else:
+        import numpy as np
+        from usip_tpu.data.pipeline import BatchLoader
+        sn = cfg.descriptor.surface_normal_len
+        name = cfg.data.dataset
+        if name == "oxford":
+            from usip_tpu.data.descriptor_loaders import OxfordDescriptorDataset
+            ds = OxfordDescriptorDataset(cfg.data, "train", sn_len=sn)
+
+            def mine(raw):
+                return ds.mine_negative_indices(np.asarray(raw["index"]))
+        elif name == "kitti":
+            from usip_tpu.data.descriptor_loaders import KittiDescriptorDataset
+            ds = KittiDescriptorDataset(cfg.data, "train", sn_len=sn)
+
+            def mine(raw):
+                return ds.mine_negative_indices(np.asarray(raw["seq"]),
+                                                np.asarray(raw["pose"]))
+        elif name == "scenenn":
+            from usip_tpu.data.descriptor_loaders import SceneNNDescriptorDataset
+            ds = SceneNNDescriptorDataset(cfg.data, "train", sn_len=sn)
+            mine = None  # indoor CGF loss mines negatives per-keypoint on device
+        else:
+            raise SystemExit(f"descriptor training not defined for {name!r} "
+                             "(reference trains descriptors on oxford/kitti/"
+                             "scenenn only)")
+        loader = BatchLoader(ds, cfg.train.batch_size, shuffle=True,
+                             num_workers=cfg.data.num_workers)
+        engine = DescriptorEngine(cfg, args.detector_checkpoint,
+                                  train_loader=loader, mine_negatives=mine)
     engine.fit()
 
 

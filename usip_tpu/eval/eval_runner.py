@@ -83,6 +83,23 @@ def run_registration(kp_dir: str, desc_dir: str, gt: List[Dict],
                                  max_trials=max_trials)
 
 
+def load_oxford_gt_pkl(root: str) -> List[Dict]:
+    """Oxford test groundtruths.pkl: entries with anc_idx/pos_idx/t/q
+    (oxford_detector_loader.py:74-76); T_gt maps pos into the anc frame."""
+    import pickle
+    with open(os.path.join(root, "test_models_20k_np_nofilter",
+                           "groundtruths.pkl"), "rb") as f:
+        entries = pickle.load(f)
+    rows = []
+    for e in entries:
+        T = np.eye(4)
+        T[:3, :3] = quat_to_rotm(np.asarray(e["q"], np.float64))
+        T[:3, 3] = np.asarray(e["t"], np.float64).reshape(3)
+        rows.append({"seq": 0, "anc_idx": int(e["anc_idx"]),
+                     "pos_idx": int(e["pos_idx"]), "T_gt": T})
+    return rows
+
+
 def load_gt_npy_dir(gt_dir: str) -> List[Dict]:
     """Generic GT layout: <gt_dir>/<i>.npy holding a 4x4 transform for pair i
     (anc = <i>.bin in anc tree, pos = <i>.bin in pos tree, seq 0)."""

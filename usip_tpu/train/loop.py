@@ -36,8 +36,12 @@ class DetectorEngine:
     """End-to-end detector training (the reference's train_detector.py loops)."""
 
     def __init__(self, cfg: Config, train_loader, test_loader=None,
-                 out_dir: Optional[str] = None):
+                 out_dir: Optional[str] = None,
+                 profile_dir: Optional[str] = None):
         self.cfg = cfg
+        # jax.profiler trace of a few steady-state steps (SURVEY §5.1: the
+        # reference only has wall-clock prints; this is the real tracer)
+        self.profile_dir = profile_dir
         self.train_loader = train_loader
         self.test_loader = test_loader
         self.out_dir = out_dir or os.path.join(cfg.train.checkpoint_dir,
@@ -78,8 +82,15 @@ class DetectorEngine:
         for i, raw in enumerate(self.train_loader):
             batch = self._device_batch(raw)
             step_key = jax.random.fold_in(self._key, int(self.state.step))
+            profiling = (self.profile_dir is not None and epoch == 0
+                         and i == 10)
+            if profiling:
+                jax.profiler.start_trace(self.profile_dir)
             self.state, metrics = self.train_step(self.state, batch, step_key,
                                                   jnp.asarray(epoch))
+            if profiling:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
             # siamese step = 2 clouds per batch item
             self.throughput.add(raw["src_pc"].shape[0] * 2)
             if i % cfg.train.log_every == 0:
