@@ -110,7 +110,10 @@ def test_data_parallel_matches_single_device():
     reduction-order tolerance (ICI all-reduce vs local reduce)."""
     from usip_tpu.train.steps import make_detector_loss_fn
 
-    cfg = _tiny_config().with_overrides(**{"train.batch_size": 8})
+    # fp32 compute for a strict gradient comparison (bf16 reduction-order noise
+    # otherwise straddles the tolerance)
+    cfg = _tiny_config().with_overrides(
+        **{"train.batch_size": 8, "detector.compute_dtype": "float32"})
     model, state = _make_state(cfg, jax.random.PRNGKey(0))
     batch = _batch(cfg)
     key = jax.random.PRNGKey(5)
