@@ -195,3 +195,28 @@ def test_descriptor_cgf_train_step(tmp_path):
     assert engine.use_cgf
     avg = engine.train_epoch(0)
     assert np.isfinite(avg["loss"])
+
+
+def test_engine_resume(tmp_path):
+    """Full-state resume continues from the saved epoch with identical state."""
+    from usip_tpu.data.pipeline import BatchLoader
+    from usip_tpu.train.loop import DetectorEngine
+
+    cfg = _tiny_config()
+    ds = SyntheticDataset(size=8, input_pc_num=cfg.data.input_pc_num,
+                          surface_normal_len=cfg.detector.surface_normal_len,
+                          seed=3)
+    loader = BatchLoader(ds, cfg.train.batch_size, num_workers=1, seed=0)
+    e1 = DetectorEngine(cfg, loader, None, out_dir=str(tmp_path / "a"))
+    e1.train_epoch(0)
+    from usip_tpu.train.checkpoint import save_checkpoint
+    save_checkpoint(os.path.join(e1.out_dir, "last.msgpack"), e1.state,
+                    metadata={"epoch": 0, "loss": 1.23})
+    e2 = DetectorEngine(cfg, loader, None, out_dir=str(tmp_path / "b"))
+    start = e2.resume(os.path.join(e1.out_dir, "last.msgpack"))
+    assert start == 1
+    assert int(e2.state.step) == int(e1.state.step)
+    assert e2.best_test_loss == 1.23
+    for a, b in zip(jax.tree_util.tree_leaves(e1.state.params),
+                    jax.tree_util.tree_leaves(e2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

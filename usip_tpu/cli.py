@@ -84,6 +84,12 @@ def cmd_train_detector(args):
     from usip_tpu.train.loop import DetectorEngine
     train, test = _make_loaders(cfg, args, cfg.detector.surface_normal_len)
     engine = DetectorEngine(cfg, train, test, profile_dir=args.profile_dir)
+    if args.resume:
+        path = args.resume
+        if path == "auto":
+            path = os.path.join(engine.out_dir, "last.msgpack")
+        start = engine.resume(path)
+        print(f"resumed from {path} at epoch {start}")
     engine.fit()
 
 
@@ -176,6 +182,8 @@ def main(argv=None):
 
     p = sub.add_parser("train-detector")
     _add_common(p)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path, or 'auto' for <out_dir>/last.msgpack")
     p.set_defaults(fn=cmd_train_detector)
 
     p = sub.add_parser("train-descriptor")

@@ -1,0 +1,110 @@
+"""User-facing inference pipeline: load checkpoints once, feed numpy clouds of
+any size, get keypoints/descriptors back.
+
+Serving-oriented wrapper over the jitted forward: clouds are padded/subsampled to
+the configured fixed shape (XLA compiles once), node FPS runs on device, and the
+post-processing (NMS, sigma ranking) runs on host exactly like the export tool.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from usip_tpu.config import Config
+from usip_tpu.data.common import subsample_fixed
+from usip_tpu.eval.export import select_keypoints
+from usip_tpu.train.checkpoint import restore_checkpoint
+from usip_tpu.train.loop import init_detector_state
+from usip_tpu.train.steps import make_detector_infer
+
+
+class KeypointPipeline:
+    """Detector (+ optional descriptor) inference over raw numpy clouds."""
+
+    def __init__(self, cfg: Config, detector_checkpoint: str,
+                 descriptor_checkpoint: Optional[str] = None, seed: int = 0):
+        self.cfg = cfg
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed)
+        self._calls = 0
+
+        self.detector, det_state = init_detector_state(cfg, cfg.train.seed)
+        det_state, _ = restore_checkpoint(detector_checkpoint, det_state)
+        self._det_state = det_state
+        self._infer = jax.jit(make_detector_infer(cfg, self.detector))
+
+        self._describe = None
+        if descriptor_checkpoint is not None:
+            from usip_tpu.models import Descriptor
+            from usip_tpu.train.descriptor_loop import init_descriptor_state
+            desc_model, desc_state = init_descriptor_state(cfg, cfg.train.seed)
+            desc_state, _ = restore_checkpoint(descriptor_checkpoint, desc_state)
+
+            @jax.jit
+            def describe(pc, sn, kp, key):
+                desc, _ = desc_model.apply(desc_state.variables, pc, sn, kp,
+                                           key=key, train=False)
+                return desc
+
+            self._describe = describe
+
+    def _next_key(self):
+        self._calls += 1
+        return jax.random.fold_in(self._key, self._calls)
+
+    def _fix_shape(self, pc: np.ndarray, sn: Optional[np.ndarray]):
+        n = self.cfg.data.input_pc_num
+        s = self.cfg.detector.surface_normal_len
+        if sn is None:
+            sn = np.zeros((pc.shape[0], s), np.float32)
+        merged = np.concatenate([pc[:, :3].astype(np.float32),
+                                 sn[:, :s].astype(np.float32)], axis=1)
+        fixed = subsample_fixed(self._rng, merged, n)
+        return fixed[:, :3], fixed[:, 3:]
+
+    def detect(self, pc: np.ndarray, sn: Optional[np.ndarray] = None, *,
+               num_keypoints: Optional[int] = None, nms_radius: float = 0.0
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """One cloud (N, 3) [+ normals (N, S)] -> (keypoints (K, 3), sigmas (K,)).
+
+        With ``num_keypoints`` set, applies NMS + sigma-ranking selection like
+        the export tool; otherwise returns all M proposals with their sigmas.
+        """
+        fpc, fsn = self._fix_shape(pc, sn)
+        kp, sig = self._infer(self._det_state, jnp.asarray(fpc[None]),
+                              jnp.asarray(fsn[None]), self._next_key())
+        kp, sig = np.asarray(kp[0]), np.asarray(sig[0])
+        if num_keypoints is None:
+            order = np.argsort(sig)
+            return kp[order], sig[order]
+        selected = select_keypoints(kp, sig, fpc, nms_radius=nms_radius,
+                                    desired_num=num_keypoints, rng=self._rng)
+        return selected, sig[np.argsort(sig)][:num_keypoints]
+
+    def detect_and_describe(self, pc: np.ndarray,
+                            sn: Optional[np.ndarray] = None, *,
+                            num_keypoints: int = 128, nms_radius: float = 0.0
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (keypoints (K, 3), descriptors (K, D))."""
+        if self._describe is None:
+            raise ValueError("no descriptor checkpoint loaded")
+        fpc, fsn = self._fix_shape(pc, sn)
+        kp, sig = self._infer(self._det_state, jnp.asarray(fpc[None]),
+                              jnp.asarray(fsn[None]), self._next_key())
+        kp, sig = np.asarray(kp[0]), np.asarray(sig[0])
+        selected = select_keypoints(kp, sig, fpc, nms_radius=nms_radius,
+                                    desired_num=num_keypoints, rng=self._rng)
+        # descriptor shape contract: M keypoints per forward — pad/trim to the
+        # configured node count for a single compiled program
+        m = self.cfg.data.node_num
+        padded = selected
+        if padded.shape[0] < m:
+            extra = fpc[self._rng.choice(fpc.shape[0], m - padded.shape[0])]
+            padded = np.concatenate([padded, extra])
+        desc = self._describe(jnp.asarray(fpc[None]), jnp.asarray(fsn[None]),
+                              jnp.asarray(padded[None]), self._next_key())
+        return selected, np.asarray(desc[0])[:selected.shape[0]]

@@ -15,7 +15,7 @@ import numpy as np
 from usip_tpu.config import Config
 from usip_tpu.models import Detector
 from usip_tpu.parallel import make_mesh, replicate, shard_batch
-from usip_tpu.train.checkpoint import save_checkpoint
+from usip_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from usip_tpu.train.state import (TrainState, lr_at_epoch, make_adam,
                                   set_learning_rate)
 from usip_tpu.train.steps import (DetectorBatch, make_detector_eval_step,
@@ -63,6 +63,20 @@ class DetectorEngine:
         self.throughput = Throughput(cfg.train.num_devices)
         self.best_test_loss = float("inf")
         self._key = jax.random.PRNGKey(cfg.train.seed + 1)
+        self.start_epoch = 0
+
+    def resume(self, path: str) -> int:
+        """Exact resume from a full-state checkpoint (the capability the
+        reference lacks, SURVEY §5.4): params + BN stats + optimizer + step,
+        epoch from the metadata sidecar."""
+        self.state, meta = restore_checkpoint(path, self.state)
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+        if meta and "epoch" in meta:
+            self.start_epoch = int(meta["epoch"]) + 1
+        if meta and "loss" in meta:
+            self.best_test_loss = float(meta["loss"])
+        return self.start_epoch
 
     def _device_batch(self, raw: Dict[str, np.ndarray]) -> DetectorBatch:
         batch = DetectorBatch(src_pc=raw["src_pc"], src_sn=raw["src_sn"],
@@ -138,7 +152,7 @@ class DetectorEngine:
     def fit(self, epochs: Optional[int] = None,
             chamfer_gate: Optional[float] = None, min_epoch: int = 0):
         epochs = epochs or self.cfg.train.epochs
-        for epoch in range(epochs):
+        for epoch in range(self.start_epoch, epochs):
             train_avg = self.train_epoch(epoch)
             self.logger.log(int(self.state.step), epoch, train_avg,
                             prefix="train_epoch")
