@@ -45,12 +45,14 @@ def _min_argmin_kernel(points_ref, nodes_ref, nodes_sq_ref, min_ref, idx_ref):
     idx_ref[:] = jnp.argmin(dist, axis=1, keepdims=True).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n",))
-def min_argmin_pallas(points: Array, nodes: Array, tile_n: int = 1024):
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def min_argmin_pallas(points: Array, nodes: Array, tile_n: int = 1024,
+                      interpret: bool = False):
     """Fused nearest-node search: for each point the (sq-distance, index) of its
     nearest node. points (B, N, 3), nodes (B, M, 3) -> ((B, N), (B, N) int32).
 
     M must be a multiple of 128 (lane width); N a multiple of tile_n.
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
     """
     b, n, _ = points.shape
     m = nodes.shape[1]
@@ -80,6 +82,7 @@ def min_argmin_pallas(points: Array, nodes: Array, tile_n: int = 1024):
                 jax.ShapeDtypeStruct((n, 1), jnp.float32),
                 jax.ShapeDtypeStruct((n, 1), jnp.int32),
             ],
+            interpret=interpret,
         )(p.astype(jnp.float32), nd_t, nd_sq)
         return jnp.maximum(mins[:, 0], 0.0), idxs[:, 0]
 
