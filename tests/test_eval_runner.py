@@ -125,3 +125,26 @@ def test_run_export_with_descriptors(tmp_path):
     # descriptors are L2-normalized rows
     d = d.reshape(8, -1)
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-2)
+
+
+def test_run_export_baseline_method(tmp_path):
+    cfg = _tiny_cfg()
+    out = str(tmp_path / "rand_kp")
+    from usip_tpu.eval.export_runner import run_export
+    stats = run_export(cfg, checkpoint=None, out_dir=out, desired_num=8,
+                       synthetic=True, method="random")
+    assert stats["frames"] == 16
+    assert stats["mean_keypoints"] == 8.0
+
+
+def test_run_export_noise(tmp_path):
+    cfg = _tiny_cfg()
+    from usip_tpu.eval.export_runner import run_export
+    from usip_tpu.train.loop import init_detector_state
+    from usip_tpu.train.checkpoint import save_checkpoint
+    _, state = init_detector_state(cfg, 0)
+    ckpt = str(tmp_path / "det.msgpack")
+    save_checkpoint(ckpt, state)
+    stats = run_export(cfg, ckpt, str(tmp_path / "noisy"), desired_num=8,
+                       synthetic=True, noise_sigma=0.05)
+    assert stats["frames"] == 16

@@ -134,9 +134,12 @@ def cmd_train_descriptor(args):
 def cmd_export_keypoints(args):
     cfg = _build_config(args)
     from usip_tpu.eval.export_runner import run_export
-    run_export(cfg, checkpoint=args.checkpoint, out_dir=args.out,
-               nms_radius=args.nms_radius, desired_num=args.num_keypoints,
-               synthetic=args.synthetic)
+    stats = run_export(cfg, checkpoint=args.checkpoint, out_dir=args.out,
+                       nms_radius=args.nms_radius,
+                       desired_num=args.num_keypoints,
+                       synthetic=args.synthetic, method=args.method,
+                       noise_sigma=args.noise_sigma)
+    print(json.dumps(stats))
 
 
 def cmd_eval_repeatability(args):
@@ -193,10 +196,15 @@ def main(argv=None):
 
     p = sub.add_parser("export-keypoints")
     _add_common(p)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", default=None)
     p.add_argument("--out", required=True)
     p.add_argument("--nms-radius", type=float, default=0.0)
     p.add_argument("--num-keypoints", type=int, default=128)
+    p.add_argument("--method", default="model",
+                   choices=["model", "random", "iss", "harris"],
+                   help="trained detector or a classical baseline "
+                        "(save_keypoints.py method switch)")
+    p.add_argument("--noise-sigma", type=float, default=0.0)
     p.set_defaults(fn=cmd_export_keypoints)
 
     p = sub.add_parser("eval-repeatability")

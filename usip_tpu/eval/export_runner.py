@@ -116,14 +116,23 @@ def run_export_with_descriptors(cfg: Config, detector_checkpoint: str,
     return {"frames": frames}
 
 
-def run_export(cfg: Config, checkpoint: str, out_dir: str,
+def run_export(cfg: Config, checkpoint: Optional[str], out_dir: str,
                nms_radius: float = 0.0, desired_num: int = 128,
                synthetic: bool = False, batch_size: Optional[int] = None,
-               dataset=None, timing: bool = True) -> dict:
-    """Returns summary stats (frames, mean keypoint count, clouds/sec)."""
-    model, state = init_detector_state(cfg, cfg.train.seed)
-    state, _ = restore_checkpoint(checkpoint, state)
-    infer = jax.jit(make_detector_infer(cfg, model))
+               dataset=None, timing: bool = True, method: str = "model",
+               noise_sigma: float = 0.0, **baseline_kwargs) -> dict:
+    """Returns summary stats (frames, mean keypoint count, clouds/sec).
+
+    ``method``: 'model' (the trained detector) or a classical baseline
+    ('random'/'iss'/'harris' — save_keypoints.py:289-325); ``noise_sigma`` adds
+    gaussian noise to the input cloud (the export tool's robustness knob,
+    save_keypoints.py:34).
+    """
+    infer = None
+    if method == "model":
+        model, state = init_detector_state(cfg, cfg.train.seed)
+        state, _ = restore_checkpoint(checkpoint, state)
+        infer = jax.jit(make_detector_infer(cfg, model))
 
     ds = dataset if dataset is not None else make_eval_dataset(cfg, synthetic)
     bs = batch_size or cfg.train.batch_size
@@ -135,15 +144,30 @@ def run_export(cfg: Config, checkpoint: str, out_dir: str,
     counts = []
     t_start = None
     for i, raw in enumerate(loader):
-        kp, sig = infer(state, jnp.asarray(raw["pc"]), jnp.asarray(raw["sn"]),
-                        jax.random.fold_in(key, i))
-        kp, sig = np.asarray(kp), np.asarray(sig)
+        pc_batch = raw["pc"]
+        if noise_sigma > 0:
+            pc_batch = pc_batch + rng.normal(
+                scale=noise_sigma, size=pc_batch.shape).astype(pc_batch.dtype)
+        if method == "model":
+            kp, sig = infer(state, jnp.asarray(pc_batch),
+                            jnp.asarray(raw["sn"]), jax.random.fold_in(key, i))
+            kp, sig = np.asarray(kp), np.asarray(sig)
         if i == 0:
             t_start = time.perf_counter()  # exclude compile
-        for b in range(kp.shape[0]):
-            selected = select_keypoints(kp[b], sig[b], raw["pc"][b],
-                                        nms_radius=nms_radius,
-                                        desired_num=desired_num, rng=rng)
+        for b in range(pc_batch.shape[0]):
+            if method == "model":
+                selected = select_keypoints(kp[b], sig[b], pc_batch[b],
+                                            nms_radius=nms_radius,
+                                            desired_num=desired_num, rng=rng)
+            else:
+                from usip_tpu.eval.baselines import baseline_keypoints
+                from usip_tpu.eval.export import ensure_keypoint_number
+                raw_kp = baseline_keypoints(method, pc_batch[b], rng,
+                                            **({"num": desired_num}
+                                               if method == "random"
+                                               else baseline_kwargs))
+                selected = ensure_keypoint_number(raw_kp, pc_batch[b],
+                                                  desired_num, rng)
             counts.append(selected.shape[0])
             seq, frame = int(raw["seq"][b]), int(raw["frame"][b])
             path = os.path.join(out_dir, f"{seq:02d}", f"{frame}.bin")

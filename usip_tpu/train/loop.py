@@ -64,6 +64,11 @@ class DetectorEngine:
         self.best_test_loss = float("inf")
         self._key = jax.random.PRNGKey(cfg.train.seed + 1)
         self.start_epoch = 0
+        # failure detection (SURVEY §5.3: the reference has none): abort with a
+        # clear error after consecutive non-finite losses instead of silently
+        # training on garbage
+        self.max_nonfinite = 5
+        self._nonfinite_streak = 0
 
     def resume(self, path: str) -> int:
         """Exact resume from a full-state checkpoint (the capability the
@@ -105,6 +110,18 @@ class DetectorEngine:
             if profiling:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                self._nonfinite_streak += 1
+                self.logger.log(int(self.state.step), epoch,
+                                {"nonfinite_loss": 1.0}, prefix="warn")
+                if self._nonfinite_streak >= self.max_nonfinite:
+                    raise FloatingPointError(
+                        f"{self._nonfinite_streak} consecutive non-finite "
+                        f"losses at step {int(self.state.step)} — aborting "
+                        "(restore from the last checkpoint and lower the LR)")
+            else:
+                self._nonfinite_streak = 0
             # siamese step = 2 clouds per batch item
             self.throughput.add(raw["src_pc"].shape[0] * 2)
             if i % cfg.train.log_every == 0:
