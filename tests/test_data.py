@@ -246,3 +246,15 @@ def test_batch_loader_prefetch():
         assert b["src_pc"].shape == (4, 32, 3)
     # second epoch re-iterates
     assert len(list(loader)) == 2
+
+
+def test_device_prefetch():
+    import jax
+    from usip_tpu.data.pipeline import device_prefetch
+
+    ds = SyntheticDataset(size=8, input_pc_num=16, surface_normal_len=3)
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, num_workers=1)
+    batches = list(device_prefetch(iter(loader), depth=2))
+    assert len(batches) == 2
+    assert isinstance(batches[0]["src_pc"], jax.Array)
+    assert batches[0]["src_pc"].shape == (4, 16, 3)

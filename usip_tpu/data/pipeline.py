@@ -19,6 +19,29 @@ def collate(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
 
+def device_prefetch(iterator, sharding=None, depth: int = 2):
+    """Overlap host->device transfer with compute: keep ``depth`` batches
+    resident on device ahead of consumption (the jitted step then starts without
+    waiting on PCIe/host)."""
+    import collections
+
+    import jax
+
+    def put(batch):
+        if sharding is None:
+            return jax.tree_util.tree_map(jax.device_put, batch)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 class BatchLoader:
     """Iterates shuffled fixed-size batches with background prefetch.
 

@@ -24,6 +24,29 @@ Array = jax.Array
 DATA_AXIS = "data"
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) initialization — the natural extension of the data mesh
+    (SURVEY §2.5): after this, jax.devices() spans all hosts and the same
+    make_mesh/jit code runs unchanged, with gradient all-reduce riding ICI
+    within a slice and DCN across slices.
+
+    No-op when args are None and the environment (TPU pod runtime) provides
+    coordination automatically.
+    """
+    import jax
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process environment
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
 def make_mesh(num_devices: Optional[int] = None,
               devices: Optional[list] = None) -> Mesh:
     """1-D data-parallel mesh over the first ``num_devices`` devices."""
