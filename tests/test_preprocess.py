@@ -87,3 +87,27 @@ def test_rotm_quat_roundtrip(rng):
             q_[:, 0] *= -1
         q = rotm_to_quat(q_)
         np.testing.assert_allclose(quat_to_rotm(q), q_, atol=1e-6)
+
+
+def test_build_modelnet_rotated(tmp_path, rng):
+    import glob
+    from usip_tpu.data.preprocess import build_modelnet_rotated
+
+    src_files = []
+    for i in range(2):
+        p = str(tmp_path / f"shape{i}.npy")
+        np.save(p, rng.normal(size=(100, 6)).astype(np.float32))
+        src_files.append(p)
+    out = str(tmp_path / "rotated_set")
+    n = build_modelnet_rotated(src_files, out, seed=0)
+    assert n == 2
+    orig = np.load(os.path.join(out, "original", "0.npy"))
+    rot = np.load(os.path.join(out, "rotated", "0.npy"))
+    T = np.load(os.path.join(out, "rotated", "0_gt.npy"))
+    # applying T to rotated coords recovers the original cloud
+    back = rot[:, :3] @ T[:3, :3].T + T[:3, 3]
+    np.testing.assert_allclose(back, orig[:, :3], atol=1e-5)
+    # rotated normals stay unit if input ones were
+    src = np.load(src_files[0])
+    np.testing.assert_allclose(np.linalg.norm(rot[:, 3:6], axis=1),
+                               np.linalg.norm(src[:, 3:6], axis=1), atol=1e-5)

@@ -167,11 +167,20 @@ def cmd_eval_registration(args):
             gt.extend(load_kitti_gt_table(args.kitti_gt, seq))
     else:
         gt = load_gt_npy_dir(args.gt_dir)
-    stats = run_registration(args.kp_dir, args.desc_dir, gt,
-                             desc_dim=args.desc_dim,
-                             threshold=args.inlier_threshold,
-                             max_trials=args.max_trials)
-    print(json.dumps(stats._asdict()))
+    if args.sweep_trials:
+        # automation_kitti.m:4-19: sweep the RANSAC budget
+        for trials in [int(t) for t in args.sweep_trials.split(",")]:
+            stats = run_registration(args.kp_dir, args.desc_dir, gt,
+                                     desc_dim=args.desc_dim,
+                                     threshold=args.inlier_threshold,
+                                     max_trials=trials)
+            print(json.dumps({"max_trials": trials, **stats._asdict()}))
+    else:
+        stats = run_registration(args.kp_dir, args.desc_dir, gt,
+                                 desc_dim=args.desc_dim,
+                                 threshold=args.inlier_threshold,
+                                 max_trials=args.max_trials)
+        print(json.dumps(stats._asdict()))
 
 
 def cmd_bench(args):
@@ -224,6 +233,8 @@ def main(argv=None):
     p.add_argument("--desc-dim", type=int, default=128)
     p.add_argument("--inlier-threshold", type=float, default=1.0)
     p.add_argument("--max-trials", type=int, default=10000)
+    p.add_argument("--sweep-trials", default=None,
+                   help="comma list of RANSAC budgets (automation_kitti.m sweep)")
     p.set_defaults(fn=cmd_eval_registration)
 
     p = sub.add_parser("bench")

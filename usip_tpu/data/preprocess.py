@@ -170,3 +170,35 @@ def write_groundtruths_txt(path: str, poses: np.ndarray,
             t = rel[:3, 3]
             f.write(f"{a} {p} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
                     f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n")
+
+
+def build_modelnet_rotated(src_files, out_root: str, seed: int = 0) -> int:
+    """Build the rotated-ModelNet repeatability set consumed by
+    ModelNetRotatedFrames: <out>/original/<i>.npy, <out>/rotated/<i>.npy and
+    <out>/rotated/<i>_gt.npy (4x4 transform mapping rotated coords back into the
+    original frame), from per-shape Nx6 (xyz+normal) arrays."""
+    rng = np.random.default_rng(seed)
+    orig_dir = os.path.join(out_root, "original")
+    rot_dir = os.path.join(out_root, "rotated")
+    os.makedirs(orig_dir, exist_ok=True)
+    os.makedirs(rot_dir, exist_ok=True)
+    for i, path in enumerate(src_files):
+        data = np.load(path).astype(np.float32)
+        np.save(os.path.join(orig_dir, f"{i}.npy"), data)
+        angles = rng.uniform(0, 2 * np.pi, size=3)
+        cx, sx = np.cos(angles[0]), np.sin(angles[0])
+        cy, sy = np.cos(angles[1]), np.sin(angles[1])
+        cz, sz = np.cos(angles[2]), np.sin(angles[2])
+        Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        R = (Rz @ Ry @ Rx).astype(np.float32)
+        rotated = data.copy()
+        rotated[:, :3] = data[:, :3] @ R.T
+        if data.shape[1] >= 6:
+            rotated[:, 3:6] = data[:, 3:6] @ R.T
+        np.save(os.path.join(rot_dir, f"{i}.npy"), rotated)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R.T  # maps rotated coords back into the original frame
+        np.save(os.path.join(rot_dir, f"{i}_gt.npy"), T)
+    return len(src_files)
