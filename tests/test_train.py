@@ -187,6 +187,7 @@ def test_descriptor_cgf_train_step(tmp_path):
            "descriptor.ball_radius": 0.75, "descriptor.surface_normal_len": 4,
            "train.batch_size": 2, "train.log_every": 1000})
     assert cfg.descriptor.use_global_context  # scenenn preset is the indoor one
+    np.random.seed(1234)  # engine's default negative mining uses global numpy
     model, state = _make_state(cfg, jax.random.PRNGKey(0))
     ckpt = os.path.join(tmp_path, "det.msgpack")
     save_checkpoint(ckpt, state)

@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from usip_tpu.config import DescriptorConfig
 from usip_tpu.nn.layers import PointwiseLayer
-from usip_tpu.ops import ball_query, gather_points
+from usip_tpu.ops import ball_query, gather_points, safe_sqrt
 
 Array = jax.Array
 
@@ -82,6 +82,7 @@ class Descriptor(nn.Module):
             desc = PointwiseLayer(d, activation=None, normalization=None,
                                   name="fc3")(z)
 
-        norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+        # safe norm: zero-gradient (not nan) at an exactly-zero descriptor row
+        norm = safe_sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True))
         desc = desc / (norm + 1e-5)
         return desc, feats
