@@ -278,3 +278,40 @@ def test_sample_nodes_shape(rng):
     pts = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
     nodes = ops.sample_nodes(jax.random.PRNGKey(1), pts, 32, subsample_ratio=4)
     assert nodes.shape == (2, 32, 3)
+
+
+def test_nearest_neighbor_custom_vjp(rng):
+    """Values and gradients must match the naive min-over-pairwise-dist form."""
+    from usip_tpu.ops.geometry import nearest_neighbor
+
+    src = jnp.asarray(rng.normal(size=(2, 6, 3)).astype(np.float32))
+    dst = jnp.asarray(rng.normal(size=(2, 11, 3)).astype(np.float32))
+
+    d, idx = nearest_neighbor(src, dst)
+    ref = ops.pairwise_dist(src, dst, exact=True)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(jnp.min(ref, -1)),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx),
+                                  np.asarray(jnp.argmin(ref, -1)))
+
+    def naive(s, t):
+        return jnp.sum(jnp.min(ops.pairwise_dist(s, t, exact=True), -1) ** 2)
+
+    def custom(s, t):
+        return jnp.sum(nearest_neighbor(s, t)[0] ** 2)
+
+    gs_ref, gt_ref = jax.grad(naive, argnums=(0, 1))(src, dst)
+    gs, gt = jax.grad(custom, argnums=(0, 1))(src, dst)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gs_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref), atol=1e-5)
+
+
+def test_nearest_neighbor_coincident_gradient(rng):
+    """Zero (not nan) gradient when a src point coincides with its nearest dst."""
+    from usip_tpu.ops.geometry import nearest_neighbor
+
+    dst = jnp.asarray(rng.normal(size=(1, 5, 3)).astype(np.float32))
+    src = dst[:, :2, :]  # exact coincidence
+    g = jax.grad(lambda s: jnp.sum(nearest_neighbor(s, dst)[0]))(src)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)

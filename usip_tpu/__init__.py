@@ -21,4 +21,19 @@ Design stance (TPU-first, not a port):
 
 from usip_tpu.version import __version__
 
-__all__ = ["__version__"]
+__all__ = ["__version__", "Config", "get_config", "Detector", "Descriptor",
+           "KeypointPipeline"]
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import usip_tpu` light; jax loads on use)."""
+    if name in ("Config", "get_config"):
+        from usip_tpu import config
+        return getattr(config, name)
+    if name in ("Detector", "Descriptor"):
+        from usip_tpu import models
+        return getattr(models, name)
+    if name == "KeypointPipeline":
+        from usip_tpu.inference import KeypointPipeline
+        return KeypointPipeline
+    raise AttributeError(name)

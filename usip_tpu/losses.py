@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from usip_tpu.ops import pairwise_dist, safe_sqrt
+from usip_tpu.ops.geometry import nearest_neighbor
 
 Array = jax.Array
 
@@ -42,11 +43,9 @@ def chamfer_probabilistic(src: Array, dst: Array,
     With sigmas: per matched pair sigma_bar = (sigma_a + sigma_b)/2 and the loss is
     mean(log(sigma_bar) + d / sigma_bar) in both directions (losses.py:80-90).
     """
-    diff = pairwise_dist(src, dst)  # (B, M, N) euclidean
-    fwd_min = jnp.min(diff, axis=2)   # (B, M)
-    fwd_idx = jnp.argmin(diff, axis=2)
-    bwd_min = jnp.min(diff, axis=1)   # (B, N)
-    bwd_idx = jnp.argmin(diff, axis=1)
+    # custom-VJP nearest neighbor: backward never re-materializes (B, M, N)
+    fwd_min, fwd_idx = nearest_neighbor(src, dst)   # (B, M)
+    bwd_min, bwd_idx = nearest_neighbor(dst, src)   # (B, N)
 
     if sigma_src is None or sigma_dst is None:
         loss = jnp.mean(fwd_min) + jnp.mean(bwd_min)
@@ -71,15 +70,14 @@ def chamfer_probabilistic(src: Array, dst: Array,
 
 def single_side_chamfer(keypoints: Array, pc: Array) -> Array:
     """Min distance from each keypoint to the cloud, (B, M) (losses.py:119-143)."""
-    diff = pairwise_dist(keypoints, pc)  # (B, M, N)
-    return jnp.min(diff, axis=2)
+    dist, _ = nearest_neighbor(keypoints, pc)
+    return dist
 
 
 def point_on_surface(keypoints: Array, pc: Array, sn: Array) -> Array:
     """Squared cosine between (keypoint - nearest point) and the surface normal,
     (B, M, 1, 1)-shaped in the reference; here (B, M) (losses.py:146-183)."""
-    diff = pairwise_dist(keypoints, pc)             # (B, M, N)
-    idx = jnp.argmin(diff, axis=2)                  # (B, M)
+    _, idx = nearest_neighbor(jax.lax.stop_gradient(keypoints), pc)  # (B, M)
     pc_sel = jnp.take_along_axis(pc, idx[..., None], axis=1)   # (B, M, 3)
     sn_sel = jnp.take_along_axis(sn[..., 0:3], idx[..., None], axis=1)
     v = keypoints - pc_sel

@@ -102,6 +102,48 @@ def gather_points(points: Array, idx: Array) -> Array:
     raise ValueError(f"idx rank {idx.ndim} incompatible with points rank {points.ndim}")
 
 
+@jax.custom_vjp
+def nearest_neighbor(src: Array, dst: Array):
+    """For each src point: (euclidean distance, index) of its nearest dst point.
+
+    src (B, M, 3), dst (B, N, 3) -> ((B, M), (B, M) int32).
+
+    Custom VJP: the naive ``min(pairwise_dist(...))`` makes XLA save the whole
+    (B, M, N) matrix for the backward argmin mask; here the backward is just a
+    gather + analytic direction, so the matrix only ever exists fused inside the
+    forward reduction. The gradient matches torch.min-over-norm semantics:
+    d||s - d*||/ds = (s - d*)/||s - d*|| to the winning pair only (0 at
+    coincident points, like torch.norm's subgradient).
+    """
+    sq = pairwise_sqdist(src, dst)
+    return safe_sqrt(jnp.min(sq, axis=-1)), jnp.argmin(sq, axis=-1).astype(
+        jnp.int32)
+
+
+def _nearest_fwd(src, dst):
+    dist, idx = nearest_neighbor(src, dst)
+    return (dist, idx), (src, dst, dist, idx)
+
+
+def _nearest_bwd(residuals, cotangents):
+    src, dst, dist, idx = residuals
+    g_dist, _ = cotangents  # argmin output is non-differentiable
+    nearest = jnp.take_along_axis(dst, idx[..., None], axis=-2)  # (B, M, 3)
+    diff = src - nearest
+    denom = jnp.where(dist > 0, dist, 1.0)[..., None]
+    direction = jnp.where(dist[..., None] > 0, diff / denom, 0.0)
+    g_src = g_dist[..., None] * direction                        # (B, M, 3)
+
+    def scatter_neg(dst_b, idx_b, upd_b):
+        return jnp.zeros_like(dst_b).at[idx_b].add(-upd_b)
+
+    g_dst = jax.vmap(scatter_neg)(dst, idx, g_src)               # (B, N, 3)
+    return g_src, g_dst
+
+
+nearest_neighbor.defvjp(_nearest_fwd, _nearest_bwd)
+
+
 def apply_se3(points: Array, R: Array, scale: Array, shift: Array) -> Array:
     """Apply the GT transform ``p -> (R @ p) * scale + shift`` batch-wise.
 
