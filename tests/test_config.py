@@ -1,0 +1,52 @@
+"""Config system tests: presets, overrides, json roundtrip."""
+
+import pytest
+
+from usip_tpu.config import Config, get_config, lite_detector
+
+
+def test_presets_match_reference_defaults():
+    """Spot-check the per-dataset defaults table (SURVEY §5.6)."""
+    k = get_config("kitti")
+    assert k.data.input_pc_num == 16384
+    assert k.detector.node_knn_k == 16
+    assert k.loss.keypoint_on_pc_alpha == 0.01
+    assert k.detector.sigma_lower_bound == 1e-3
+    m = get_config("modelnet")
+    assert m.data.input_pc_num == 5000
+    assert m.detector.surface_normal_len == 3
+    assert m.detector.node_knn_k == 32
+    s = get_config("scenenn")
+    assert s.loss.keypoint_on_pc_alpha == 100.0
+    assert s.descriptor.ball_nsamples == 448
+    assert s.descriptor.use_global_context
+    assert s.loss.cgf_radius == 0.075
+    x = get_config("match3d")
+    assert x.loss.keypoint_on_pc_alpha == 10.0
+
+
+def test_unknown_dataset():
+    with pytest.raises(KeyError):
+        get_config("nope")
+
+
+def test_overrides():
+    cfg = get_config("kitti", **{"data.input_pc_num": 1024})
+    assert cfg.data.input_pc_num == 1024
+    cfg2 = cfg.with_overrides(**{"detector.c1": 64, "train.lr": 0.01})
+    assert cfg2.detector.c1 == 64 and cfg2.train.lr == 0.01
+    with pytest.raises(KeyError):
+        cfg.with_overrides(nodots=1)
+
+
+def test_lite_detector_widths():
+    d = lite_detector(get_config("scenenn").detector)
+    assert (d.c1, d.c2) == (64, 256)
+
+
+def test_json_roundtrip():
+    cfg = get_config("oxford", **{"data.input_pc_num": 2048})
+    restored = Config.from_json(cfg.to_json())
+    assert restored == cfg
+    # None-valued fields survive
+    assert restored.train.bn_momentum_decay_step is None

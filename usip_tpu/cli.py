@@ -34,6 +34,8 @@ def _add_common(p):
                    help="dotted config override, e.g. data.input_pc_num=4096")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of one steady-state step")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                   help="force a jax platform (cpu enables TPU-less smoke runs)")
 
 
 def _build_config(args):
@@ -241,6 +243,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 

@@ -181,6 +181,27 @@ class Config:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)
 
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        """Reconstruct a Config from ``to_json`` output (e.g. a training run's
+        saved config.json, for export/eval against that run)."""
+        raw = json.loads(text)
+        sections = {
+            "data": DataConfig, "detector": DetectorConfig,
+            "descriptor": DescriptorConfig, "loss": LossConfig,
+            "augment": AugmentConfig, "train": TrainConfig,
+        }
+        kwargs = {}
+        for name, typ in sections.items():
+            fields = {f.name for f in dataclasses.fields(typ)}
+            vals = {k: v for k, v in raw.get(name, {}).items() if k in fields}
+            # json turns None-typed ints into strings via default=str; coerce
+            for k, v in list(vals.items()):
+                if v == "None":
+                    vals[k] = None
+            kwargs[name] = typ(**vals)
+        return cls(**kwargs)
+
 
 def _object_preset() -> Config:
     """ModelNet40 / SHREC detector (reference modelnet/options_detector.py)."""
