@@ -11,8 +11,6 @@ carries them: vectorized (no per-node python loops), vmappable over batches.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from usip_tpu import losses as L
 from usip_tpu.ops import pairwise_dist

@@ -12,7 +12,7 @@ import numpy as np
 
 from usip_tpu.config import Config
 from usip_tpu.data.pipeline import BatchLoader
-from usip_tpu.models import Descriptor, Detector
+from usip_tpu.models import Descriptor
 from usip_tpu.parallel import make_mesh, replicate, shard_batch
 from usip_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from usip_tpu.train.loop import init_detector_state

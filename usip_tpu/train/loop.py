@@ -6,7 +6,7 @@ per-epoch test sweeps with weighted averages, quality-gated checkpointing, metri
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
