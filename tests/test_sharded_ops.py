@@ -69,3 +69,31 @@ def test_sharded_knn_gather(mesh, rng):
     np.testing.assert_allclose(
         np.sort(np.asarray(f_out), axis=2), np.sort(np.asarray(f_ref), axis=2),
         atol=1e-5)
+
+
+def test_sharded_detector_forward_matches_single_device(mesh, rng):
+    """Point-sharded SOM detector forward == single-device forward (fp32)."""
+    from usip_tpu.config import get_config
+    from usip_tpu.models import Detector
+    from usip_tpu.parallel.sharded_detector import sharded_detector_forward
+
+    cfg = get_config(
+        "modelnet",
+        **{"data.input_pc_num": 256, "data.node_num": 16,
+           "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4,
+           "detector.compute_dtype": "float32"})
+    s = cfg.detector.surface_normal_len
+    pc = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+    sn = jnp.asarray(rng.normal(size=(2, 256, s)).astype(np.float32))
+    node = jnp.asarray(rng.normal(size=(2, 16, 3)).astype(np.float32))
+
+    model = Detector(cfg.detector)
+    variables = model.init(jax.random.PRNGKey(0), pc, sn, node, train=False)
+    ref_anchors, ref_kp, ref_sig = model.apply(variables, pc, sn, node,
+                                               train=False)
+    anchors, kp, sig = sharded_detector_forward(mesh, cfg, variables, pc, sn,
+                                                node)
+    np.testing.assert_allclose(np.asarray(anchors), np.asarray(ref_anchors),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(kp), np.asarray(ref_kp), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(ref_sig), atol=1e-3)
