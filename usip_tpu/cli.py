@@ -143,6 +143,19 @@ def cmd_export_keypoints(args):
     print(json.dumps(stats))
 
 
+def cmd_export_descriptors(args):
+    cfg = _build_config(args)
+    from usip_tpu.eval.export_runner import run_export_with_descriptors
+    stats = run_export_with_descriptors(
+        cfg, detector_checkpoint=args.checkpoint,
+        descriptor_checkpoint=args.descriptor_checkpoint,
+        kp_out=os.path.join(args.out, "keypoints"),
+        desc_out=os.path.join(args.out, "descriptors"),
+        nms_radius=args.nms_radius, desired_num=args.num_keypoints,
+        synthetic=args.synthetic)
+    print(json.dumps(stats))
+
+
 def cmd_eval_repeatability(args):
     import numpy as np
     from usip_tpu.eval.eval_runner import (load_gt_npy_dir, load_kitti_gt_table,
@@ -216,6 +229,15 @@ def main(argv=None):
                         "(save_keypoints.py method switch)")
     p.add_argument("--noise-sigma", type=float, default=0.0)
     p.set_defaults(fn=cmd_export_keypoints)
+
+    p = sub.add_parser("export-descriptors")
+    _add_common(p)
+    p.add_argument("--checkpoint", required=True, help="detector checkpoint")
+    p.add_argument("--descriptor-checkpoint", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--nms-radius", type=float, default=0.0)
+    p.add_argument("--num-keypoints", type=int, default=128)
+    p.set_defaults(fn=cmd_export_descriptors)
 
     p = sub.add_parser("eval-repeatability")
     p.add_argument("--anc-dir", required=True)
