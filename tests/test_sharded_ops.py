@@ -97,3 +97,69 @@ def test_sharded_detector_forward_matches_single_device(mesh, rng):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(kp), np.asarray(ref_kp), atol=1e-3)
     np.testing.assert_allclose(np.asarray(sig), np.asarray(ref_sig), atol=1e-3)
+
+
+def test_sharded_train_step_matches_single_device(mesh, rng):
+    """Point-sharded training: loss + gradient-driven update must match the
+    single-device train path (fp32, same weights/inputs)."""
+    from usip_tpu.config import get_config
+    from usip_tpu.data.augment import SE3
+    from usip_tpu.models import Detector
+    from usip_tpu.ops import apply_se3
+    from usip_tpu.parallel.sharded_train import make_sharded_detector_train_step
+    from usip_tpu.train import TrainState, make_adam
+
+    cfg = get_config(
+        "modelnet",
+        **{"data.input_pc_num": 256, "data.node_num": 16,
+           "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4,
+           "detector.compute_dtype": "float32", "train.batch_size": 2})
+    s = cfg.detector.surface_normal_len
+    b, n, m = 2, 256, 16
+    src_pc = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    src_sn = jnp.asarray(rng.normal(size=(b, n, s)).astype(np.float32))
+    dst_pc = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    dst_sn = jnp.asarray(rng.normal(size=(b, n, s)).astype(np.float32))
+    src_node = src_pc[:, :m, :]
+    dst_node = dst_pc[:, :m, :]
+    gt_R = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
+    gt_scale = jnp.ones((b,))
+    gt_shift = jnp.zeros((b, 3))
+
+    model = Detector(cfg.detector)
+    variables = model.init(jax.random.PRNGKey(0), src_pc, src_sn, src_node,
+                           train=False)
+    state = TrainState.create(variables, make_adam(1e-3))
+
+    # single-device reference: same math inline
+    def ref_loss(params):
+        v = {"params": params, "batch_stats": state.batch_stats}
+        pc = jnp.concatenate([src_pc, dst_pc])
+        sn = jnp.concatenate([src_sn, dst_sn])
+        node = jnp.concatenate([src_node, dst_node])
+        (anchors, kp, sig), mut = model.apply(
+            v, pc, sn, node, train=True, bn_momentum=0.1,
+            mutable=["batch_stats"])
+        s_kp, d_kp = kp[:b], kp[b:]
+        s_sig, d_sig = sig[:b], sig[b:]
+        from usip_tpu import losses
+        ch = losses.chamfer_probabilistic(
+            apply_se3(s_kp, gt_R, gt_scale, gt_shift), d_kp, s_sig, d_sig)
+        on_pc = (jnp.mean(losses.single_side_chamfer(s_kp, src_pc))
+                 + jnp.mean(losses.single_side_chamfer(d_kp, dst_pc))) \
+            * cfg.loss.keypoint_on_pc_alpha
+        return ch.loss + on_pc, mut["batch_stats"]
+
+    (ref_total, ref_stats), ref_grads = jax.value_and_grad(
+        ref_loss, has_aux=True)(state.params)
+
+    step = make_sharded_detector_train_step(cfg, mesh)
+    new_state, metrics = step(state, src_pc, src_sn, src_node, dst_pc, dst_sn,
+                              dst_node, gt_R, gt_scale, gt_shift,
+                              jnp.asarray(0))
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_total),
+                               rtol=1e-4)
+    # BN running stats must match the single-device update (global statistics)
+    for a, b_ in zip(jax.tree_util.tree_leaves(ref_stats),
+                     jax.tree_util.tree_leaves(new_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)

@@ -70,6 +70,9 @@ class BatchNorm(nn.Module):
 
     features: int
     eps: float = 1e-5
+    # mesh axis to psum batch statistics over (point-sharded training): stats
+    # become global over the sharded dimension, matching single-device training
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, use_running_average: bool,
@@ -86,10 +89,20 @@ class BatchNorm(nn.Module):
         else:
             reduce_axes = tuple(range(x.ndim - 1))
             x32 = x.astype(jnp.float32)
-            mean = jnp.mean(x32, axis=reduce_axes)
-            var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
             count = x.size // self.features
-            unbiased = var * (count / max(count - 1, 1))
+            if self.axis_name is not None:
+                total = jax.lax.psum(jnp.asarray(count, jnp.float32),
+                                     self.axis_name)
+                mean = jax.lax.psum(jnp.sum(x32, axis=reduce_axes),
+                                    self.axis_name) / total
+                sq = jax.lax.psum(jnp.sum(jnp.square(x32), axis=reduce_axes),
+                                  self.axis_name) / total
+                var = sq - jnp.square(mean)
+                unbiased = var * (total / jnp.maximum(total - 1, 1))
+            else:
+                mean = jnp.mean(x32, axis=reduce_axes)
+                var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+                unbiased = var * (count / max(count - 1, 1))
             if not self.is_initializing():
                 m = jnp.asarray(momentum, jnp.float32)
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
@@ -112,6 +125,8 @@ class PointwiseLayer(nn.Module):
     kernel_init: nn.initializers.Initializer = HE_NORMAL
     # matmul compute dtype (params stay fp32); bf16 rides the MXU at full rate
     dtype: Optional[jnp.dtype] = None
+    # mesh axis for cross-shard batch statistics (point-sharded training)
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -120,7 +135,8 @@ class PointwiseLayer(nn.Module):
                      bias_init=nn.initializers.zeros, dtype=self.dtype,
                      param_dtype=jnp.float32, name="dense")(x)
         if self.normalization == "batch":
-            y = BatchNorm(self.features, name="norm")(
+            y = BatchNorm(self.features, axis_name=self.axis_name,
+                          name="norm")(
                 y, use_running_average=not train, momentum=bn_momentum)
         elif self.normalization == "instance":
             # stats per (batch, channel) over spatial axes; affine like the reference
@@ -144,6 +160,7 @@ class SharedMLP(nn.Module):
     normalization: Optional[str] = "batch"
     last_linear: bool = True
     dtype: Optional[jnp.dtype] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -156,6 +173,7 @@ class SharedMLP(nn.Module):
                 activation=None if last else self.activation,
                 normalization=None if last else self.normalization,
                 dtype=self.dtype,
+                axis_name=self.axis_name,
                 name=f"layer{i}",
             )(x, train=train, bn_momentum=bn_momentum)
         return x

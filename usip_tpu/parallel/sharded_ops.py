@@ -136,11 +136,17 @@ def sharded_single_side_chamfer(mesh: Mesh, keypoints: Array, pc: Array) -> Arra
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(None, POINT_AXIS, None)), out_specs=P())
+        in_specs=(P(), P(None, POINT_AXIS, None)), out_specs=P(),
+        # the all_gather+min result is replicated; the static checker can't
+        # infer it through the reduction (numerically verified in tests)
+        check_vma=False)
     def _inner(kp, pc_sh):
         diff = pairwise_dist(kp, pc_sh)          # (B, M, n_local)
         local_min = jnp.min(diff, axis=2)
-        return jax.lax.pmin(local_min, POINT_AXIS)
+        # pmin has no differentiation rule; all_gather+min is differentiable
+        # and only moves the (S, B, M) candidate minima
+        gathered = jax.lax.all_gather(local_min, POINT_AXIS)
+        return jnp.min(gathered, axis=0)
 
     return _inner(keypoints, pc)
 
