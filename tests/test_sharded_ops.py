@@ -163,3 +163,40 @@ def test_sharded_train_step_matches_single_device(mesh, rng):
     for a, b_ in zip(jax.tree_util.tree_leaves(ref_stats),
                      jax.tree_util.tree_leaves(new_state.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_sharded_train_2d_mesh(rng):
+    """dp x sp composition: 2-device data axis x 4-device points axis."""
+    import numpy as onp
+    from jax.sharding import Mesh
+    from usip_tpu.config import get_config
+    from usip_tpu.models import Detector
+    from usip_tpu.parallel.sharded_train import make_sharded_detector_train_step
+    from usip_tpu.train import TrainState, make_adam
+
+    mesh2d = Mesh(onp.asarray(jax.devices()[:8]).reshape(2, 4),
+                  ("data", "points"))
+    cfg = get_config(
+        "modelnet",
+        **{"data.input_pc_num": 128, "data.node_num": 16,
+           "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4,
+           "detector.compute_dtype": "float32", "train.batch_size": 4})
+    s = cfg.detector.surface_normal_len
+    b, n, m = 4, 128, 16
+    mk = lambda *sh: jnp.asarray(rng.normal(size=sh).astype(np.float32))
+    src_pc, dst_pc = mk(b, n, 3), mk(b, n, 3)
+    src_sn, dst_sn = mk(b, n, s), mk(b, n, s)
+    model = Detector(cfg.detector)
+    v = model.init(jax.random.PRNGKey(0), src_pc, src_sn, src_pc[:, :m],
+                   train=False)
+    state = TrainState.create(v, make_adam(1e-3))
+    step = jax.jit(make_sharded_detector_train_step(cfg, mesh2d))
+    losses_seq = []
+    st = state
+    for i in range(3):
+        st, metrics = step(st, src_pc, src_sn, src_pc[:, :m], dst_pc, dst_sn,
+                           dst_pc[:, :m], jnp.broadcast_to(jnp.eye(3), (b, 3, 3)),
+                           jnp.ones((b,)), jnp.zeros((b, 3)), jnp.asarray(0))
+        losses_seq.append(float(metrics["loss"]))
+    assert np.isfinite(losses_seq).all()
+    assert losses_seq[-1] < losses_seq[0]

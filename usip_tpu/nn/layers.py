@@ -70,9 +70,9 @@ class BatchNorm(nn.Module):
 
     features: int
     eps: float = 1e-5
-    # mesh axis to psum batch statistics over (point-sharded training): stats
-    # become global over the sharded dimension, matching single-device training
-    axis_name: Optional[str] = None
+    # mesh axis (or tuple of axes) to psum batch statistics over (point- and/or
+    # data-sharded training): stats become global, matching single-device math
+    axis_name: "Optional[str | tuple]" = None
 
     @nn.compact
     def __call__(self, x: Array, use_running_average: bool,

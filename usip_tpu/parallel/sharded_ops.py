@@ -130,13 +130,16 @@ def sharded_chamfer_probabilistic(mesh: Mesh, src: Array, dst: Array,
 def sharded_single_side_chamfer(mesh: Mesh, keypoints: Array, pc: Array) -> Array:
     """Keypoint->cloud min distance with the cloud sharded over the mesh.
 
-    keypoints (B, M, 3) replicated; pc (B, N, 3) sharded on N. Returns (B, M)
-    replicated — the on-pc loss for clouds too large for one chip.
+    keypoints (B, M, 3) replicated (or data-sharded on a 2-D dp x sp mesh);
+    pc (B, N, 3) sharded on N. Returns (B, M) — the on-pc loss for clouds too
+    large for one chip.
     """
+    from usip_tpu.parallel.mesh import DATA_AXIS
+    ba = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(None, POINT_AXIS, None)), out_specs=P(),
+        in_specs=(P(ba), P(ba, POINT_AXIS, None)), out_specs=P(ba),
         # the all_gather+min result is replicated; the static checker can't
         # infer it through the reduction (numerically verified in tests)
         check_vma=False)

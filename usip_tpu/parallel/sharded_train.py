@@ -25,9 +25,15 @@ from usip_tpu.config import Config
 from usip_tpu.models.detector import KNNFusionOnNodes, KeypointHead, _dtype_of
 from usip_tpu.nn.layers import SharedMLP
 from usip_tpu.ops import apply_se3
+from usip_tpu.parallel.mesh import DATA_AXIS
 from usip_tpu.parallel.sharded_ops import POINT_AXIS
 
 Array = jax.Array
+
+
+def _batch_axis(mesh: Mesh):
+    """'data' when the mesh also carries a data-parallel axis (2-D dp x sp)."""
+    return DATA_AXIS if DATA_AXIS in mesh.axis_names else None
 
 
 def sharded_trunk_apply(mesh: Mesh, cfg: Config, variables, pc: Array,
@@ -39,12 +45,15 @@ def sharded_trunk_apply(mesh: Mesh, cfg: Config, variables, pc: Array,
     m = node.shape[1]
     c1 = dcfg.c1
     dt = _dtype_of(dcfg)
+    ba = _batch_axis(mesh)
+    # BN statistics must be global over every sharded dimension of the batch
+    bn_axes = tuple(a for a in (ba, POINT_AXIS) if a is not None)
     mlp1 = SharedMLP((c1 // 2,) * 3, activation=dcfg.activation,
                      normalization=dcfg.normalization, dtype=dt,
-                     axis_name=POINT_AXIS if train else None)
+                     axis_name=bn_axes if train else None)
     mlp2 = SharedMLP((c1, c1), activation=dcfg.activation,
                      normalization=dcfg.normalization, dtype=dt,
-                     axis_name=POINT_AXIS if train else None)
+                     axis_name=bn_axes if train else None)
     v1 = {"params": variables["params"]["first_pointnet"],
           "batch_stats": variables["batch_stats"]["first_pointnet"]}
     v2 = {"params": variables["params"]["second_pointnet"],
@@ -52,9 +61,9 @@ def sharded_trunk_apply(mesh: Mesh, cfg: Config, variables, pc: Array,
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(None, POINT_AXIS, None), P(None, POINT_AXIS, None),
-                  P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
+        in_specs=(P(ba, POINT_AXIS, None), P(ba, POINT_AXIS, None),
+                  P(ba), P(), P(), P()),
+        out_specs=(P(ba), P(ba), P(), P()),
         # BN running stats are psum-replicated; the static varying-axes checker
         # can't see that through flax's mutable-collection plumbing. The parity
         # test below checks replication numerically.
