@@ -100,3 +100,22 @@ def test_coordinate_flips(rng):
     np.testing.assert_allclose(enu[:, 0], p[:, 0])
     np.testing.assert_allclose(enu[:, 1], -p[:, 2])
     np.testing.assert_allclose(enu[:, 2], p[:, 1])
+
+
+def test_shared_augment_scale_sn(rng):
+    """modelnet scales normals with the cloud (modelnet_shrec_loader.py:233)."""
+    pc = jnp.asarray(rng.normal(size=(2, 20, 3)).astype(np.float32))
+    sn = jnp.asarray(rng.normal(size=(2, 20, 3)).astype(np.float32))
+    node = jnp.asarray(rng.normal(size=(2, 5, 3)).astype(np.float32))
+    cfg_on = AugmentConfig(jitter=False, scale_sn=True,
+                           aug_scale_low=2.0, aug_scale_high=2.0)
+    (opc, osn, onode), = augment.shared_augment(
+        jax.random.PRNGKey(0), [(pc, sn, node)], cfg_on,
+        scale_low=2.0, scale_high=2.0)
+    np.testing.assert_allclose(np.asarray(osn), np.asarray(sn) * 2.0, atol=1e-5)
+    cfg_off = AugmentConfig(jitter=False, scale_sn=False,
+                            aug_scale_low=2.0, aug_scale_high=2.0)
+    (_, osn2, _), = augment.shared_augment(
+        jax.random.PRNGKey(0), [(pc, sn, node)], cfg_off,
+        scale_low=2.0, scale_high=2.0)
+    np.testing.assert_allclose(np.asarray(osn2), np.asarray(sn), atol=1e-5)

@@ -98,6 +98,9 @@ class AugmentConfig:
     # shared-augment uniform scale range (loader .augment())
     aug_scale_low: float = 0.9
     aug_scale_high: float = 1.1
+    # modelnet's loader also scales the normals (modelnet_shrec_loader.py:233);
+    # the lidar loaders comment that line out (oxford_detector_loader.py:172)
+    scale_sn: bool = False
     # ground-truth transform of the dst copy (transform_pc_pytorch call sites)
     gt_scale_thre: float = 0.2
     gt_shift_thre: float = 0.5
@@ -216,7 +219,7 @@ def _object_preset() -> Config:
             rot_3d=True, jitter=True, shared_jitter=True,
             jitter_pc_sigma=0.01, jitter_pc_clip=0.05,
             jitter_node_sigma=0.04, jitter_node_clip=0.1,
-            aug_scale_low=0.8, aug_scale_high=1.2,
+            aug_scale_low=0.8, aug_scale_high=1.2, scale_sn=True,
             gt_scale_thre=0.2, gt_shift_thre=0.5,
         ),
         train=TrainConfig(batch_size=8, lr_decay_step=40),

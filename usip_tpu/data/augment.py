@@ -154,6 +154,9 @@ def shared_augment(key: Array, packs, cfg: AugmentConfig, *,
                 -cfg.jitter_node_clip, cfg.jitter_node_clip)
         pc = pc * scale[:, None, None]
         node = node * scale[:, None, None]
+        if cfg.scale_sn:
+            # modelnet scales normals too (modelnet_shrec_loader.py:233)
+            sn = sn * scale[:, None, None]
         if cfg.translation_perturbation:
             pc = pc + shift[:, None, :]
             node = node + shift[:, None, :]

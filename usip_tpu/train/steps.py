@@ -246,7 +246,7 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
     def train_step(desc_state: TrainState, det_state: TrainState,
                    batch: DescriptorBatch, key: Array, epoch: Array):
         (k_node_a, k_node_p, k_se3, k_ball_a, k_ball_p, k_ball_n,
-         k_cgf) = jax.random.split(key, 7)
+         k_cgf, k_height) = jax.random.split(key, 8)
         aug = cfg.augment
         anc_pc, anc_sn = batch.anc_pc, batch.anc_sn
         pos_pc, pos_sn = batch.pos_pc, batch.pos_sn
@@ -279,6 +279,14 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
         _, kp, sig = detector.apply(det_vars, pc, sn, node, train=False)
         anc_kp, pos_kp = kp[:b], kp[b:]
         anc_sig = sig[:b]
+
+        if aug.height_scale:
+            # oxford: post-detector height scaling of clouds AND keypoints as
+            # descriptor train augmentation (oxford/train_descriptor.py:123-130);
+            # cam-frame up axis is y (ENU z pre-flip)
+            anc_pc, pos_pc, anc_kp, pos_kp = augment.random_height_scale(
+                k_height, [anc_pc, pos_pc, anc_kp, pos_kp],
+                aug.height_scale_low, aug.height_scale_high, axis=1)
 
         momentum = bn_momentum_schedule(
             cfg.train.bn_momentum, epoch, cfg.train.bn_momentum_decay_step,
