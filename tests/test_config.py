@@ -50,3 +50,12 @@ def test_json_roundtrip():
     assert restored == cfg
     # None-valued fields survive
     assert restored.train.bn_momentum_decay_step is None
+
+
+def test_descriptor_role_deltas():
+    assert get_config("kitti", role="descriptor").data.node_num == 256
+    assert get_config("kitti").data.node_num == 512
+    sc = get_config("scenenn", role="descriptor")
+    assert sc.data.input_pc_num == 5000 and sc.detector.node_knn_k == 4
+    with pytest.raises(ValueError):
+        get_config("kitti", role="nope")

@@ -37,7 +37,7 @@ def _add_common(p):
                    help="force a jax platform (cpu enables TPU-less smoke runs)")
 
 
-def _build_config(args):
+def _build_config(args, role="detector"):
     from usip_tpu.config import get_config
     overrides = {}
     for ov in args.override:
@@ -47,7 +47,7 @@ def _build_config(args):
         except json.JSONDecodeError:
             pass
         overrides[k] = v
-    cfg = get_config(args.dataset, **overrides)
+    cfg = get_config(args.dataset, role=role, **overrides)
     updates = {"data.dataroot": args.dataroot,
                "train.num_devices": args.num_devices,
                "train.name": args.name,
@@ -95,7 +95,7 @@ def cmd_train_detector(args):
 
 
 def cmd_train_descriptor(args):
-    cfg = _build_config(args)
+    cfg = _build_config(args, role="descriptor")
     from usip_tpu.train.descriptor_loop import DescriptorEngine
     if args.synthetic:
         engine = DescriptorEngine(cfg, args.detector_checkpoint, synthetic=True)

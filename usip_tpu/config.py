@@ -322,12 +322,25 @@ PRESETS = {
 }
 
 
-def get_config(dataset: str, **overrides) -> Config:
-    """Per-dataset preset; ``overrides`` are dotted keys (``data.input_pc_num=...``)."""
+def get_config(dataset: str, role: str = "detector", **overrides) -> Config:
+    """Per-dataset preset; ``overrides`` are dotted keys (``data.input_pc_num=...``).
+
+    ``role='descriptor'`` applies the descriptor-training deltas from the
+    reference's options_descriptor.py files (SURVEY §5.6: kitti descriptor uses
+    256 keypoints; scenenn descriptor uses 5000-pt clouds).
+    """
     try:
         cfg = PRESETS[dataset]()
     except KeyError:
         raise KeyError(f"unknown dataset {dataset!r}; choose from {sorted(PRESETS)}")
+    if role == "descriptor":
+        if dataset == "kitti":
+            cfg = cfg.with_overrides(**{"data.node_num": 256})
+        elif dataset == "scenenn":
+            cfg = cfg.with_overrides(**{"data.input_pc_num": 5000,
+                                        "detector.node_knn_k": 4})
+    elif role != "detector":
+        raise ValueError(f"unknown role {role!r}")
     # descriptor presets per dataset (options_descriptor.py files)
     if dataset in ("oxford", "kitti"):
         cfg = _descriptor_preset(
