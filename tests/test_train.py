@@ -221,3 +221,20 @@ def test_engine_resume(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(e1.state.params),
                     jax.tree_util.tree_leaves(e2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("grouping", ["knn", "ball"])
+def test_train_step_grouping_variants(grouping):
+    """RPN_Detector_KNN / RPN_Detector_Ball analogs train end to end."""
+    cfg = _tiny_config().with_overrides(
+        **{"detector.grouping": grouping, "detector.group_k": 8,
+           "detector.group_radius": 1.0})
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_detector_train_step(cfg, model))
+    losses_seq = []
+    for i in range(8):
+        state, metrics = step(state, _batch(cfg), jax.random.fold_in(
+            jax.random.PRNGKey(2), i), jnp.asarray(0))
+        losses_seq.append(float(metrics["loss"]))
+    assert np.isfinite(losses_seq).all()
+    assert losses_seq[-1] < losses_seq[0]
