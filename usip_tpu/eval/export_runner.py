@@ -71,7 +71,6 @@ def run_export_with_descriptors(cfg: Config, detector_checkpoint: str,
     Keypoint selection (NMS + sigma top-K) happens first on host; the selected
     fixed-size keypoint set then goes back through the descriptor on device.
     """
-    from usip_tpu.models import Descriptor
     from usip_tpu.train.descriptor_loop import init_descriptor_state
 
     model, state = init_detector_state(cfg, cfg.train.seed)

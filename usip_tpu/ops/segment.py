@@ -82,7 +82,6 @@ def _masked_max_fast(f: Array, ids: Array, num_segments: int) -> Array:
     per distinct input value (ties come from pad-duplicated points), so training
     is distribution-equivalent.
     """
-    neg = jnp.asarray(-jnp.inf, f.dtype)
     seg = jax.ops.segment_max(f, ids, num_segments=num_segments,
                               indices_are_sorted=False)
     return jnp.where(jnp.isneginf(seg), 0.0, seg)

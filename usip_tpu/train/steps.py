@@ -151,8 +151,7 @@ def make_detector_train_step(cfg: Config, model: Detector):
 
     def train_step(state: TrainState, batch: DetectorBatch, key: Array,
                    epoch: Array):
-        k_prep, k_drop = jax.random.split(key)
-        src, dst, gt = _prepare_detector_inputs(k_prep, batch, cfg, train=True)
+        src, dst, gt = _prepare_detector_inputs(key, batch, cfg, train=True)
         momentum = bn_momentum_schedule(
             cfg.train.bn_momentum, epoch, cfg.train.bn_momentum_decay_step,
             cfg.train.bn_momentum_decay)
