@@ -69,7 +69,9 @@ def main():
 
     desc_engine = DescriptorEngine(cfg, det_ckpt, synthetic=True,
                                    out_dir=args.out + "/desc")
-    untrained_desc_state = desc_engine.state
+    # host snapshot: the train step donates state buffers, so keep a copy
+    untrained_vars = jax.tree_util.tree_map(
+        np.asarray, desc_engine.state.variables)
     for epoch in range(args.desc_epochs):
         avg = desc_engine.train_epoch(epoch)
     print(f"descriptor trained: loss {avg['loss']:.4f} "
@@ -107,10 +109,8 @@ def main():
 
         d_a = np.asarray(describe(desc_engine.state.variables, *args_a, key_a)[0])
         d_p = np.asarray(describe(desc_engine.state.variables, *args_p, key_p)[0])
-        d_a0 = np.asarray(describe(untrained_desc_state.variables, *args_a,
-                                   key_a)[0])
-        d_p0 = np.asarray(describe(untrained_desc_state.variables, *args_p,
-                                   key_p)[0])
+        d_a0 = np.asarray(describe(untrained_vars, *args_a, key_a)[0])
+        d_p0 = np.asarray(describe(untrained_vars, *args_p, key_p)[0])
         kp_a_np, kp_p_np = np.asarray(kp_a[0]), np.asarray(kp_p[0])
         radius = 0.2
         acc_trained.append(match_accuracy(kp_a_np, d_a, kp_p_np, d_p, R, radius))
