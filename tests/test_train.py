@@ -232,9 +232,11 @@ def test_train_step_grouping_variants(grouping):
     model, state = _make_state(cfg, jax.random.PRNGKey(0))
     step = jax.jit(make_detector_train_step(cfg, model))
     losses_seq = []
-    for i in range(8):
-        state, metrics = step(state, _batch(cfg), jax.random.fold_in(
+    batch = _batch(cfg)
+    for i in range(16):
+        state, metrics = step(state, batch, jax.random.fold_in(
             jax.random.PRNGKey(2), i), jnp.asarray(0))
         losses_seq.append(float(metrics["loss"]))
     assert np.isfinite(losses_seq).all()
-    assert losses_seq[-1] < losses_seq[0]
+    # compare window means: single-step deltas are noisy under augmentation
+    assert np.mean(losses_seq[-4:]) < np.mean(losses_seq[:4])
