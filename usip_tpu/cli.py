@@ -156,16 +156,22 @@ def cmd_export_descriptors(args):
     print(json.dumps(stats))
 
 
-def cmd_eval_repeatability(args):
-    import numpy as np
+def _load_gt(args):
     from usip_tpu.eval.eval_runner import (load_gt_npy_dir, load_kitti_gt_table,
-                                           run_repeatability)
+                                           load_oxford_gt_pkl)
     if args.kitti_gt:
         gt = []
         for seq in (9, 10):
             gt.extend(load_kitti_gt_table(args.kitti_gt, seq))
-    else:
-        gt = load_gt_npy_dir(args.gt_dir)
+        return gt
+    if getattr(args, "oxford_root", None):
+        return load_oxford_gt_pkl(args.oxford_root)
+    return load_gt_npy_dir(args.gt_dir)
+
+
+def cmd_eval_repeatability(args):
+    from usip_tpu.eval.eval_runner import run_repeatability
+    gt = _load_gt(args)
     mean, arr = run_repeatability(args.anc_dir, args.pos_dir, gt,
                                   inlier_radius=args.inlier_radius)
     print(json.dumps({"repeatability": mean, "pairs": len(arr),
@@ -173,14 +179,8 @@ def cmd_eval_repeatability(args):
 
 
 def cmd_eval_registration(args):
-    from usip_tpu.eval.eval_runner import (load_gt_npy_dir, load_kitti_gt_table,
-                                           run_registration)
-    if args.kitti_gt:
-        gt = []
-        for seq in (9, 10):
-            gt.extend(load_kitti_gt_table(args.kitti_gt, seq))
-    else:
-        gt = load_gt_npy_dir(args.gt_dir)
+    from usip_tpu.eval.eval_runner import run_registration
+    gt = _load_gt(args)
     if args.sweep_trials:
         # automation_kitti.m:4-19: sweep the RANSAC budget
         for trials in [int(t) for t in args.sweep_trials.split(",")]:
@@ -245,6 +245,8 @@ def main(argv=None):
     p.add_argument("--gt-dir", default=None)
     p.add_argument("--kitti-gt", default=None,
                    help="kitti-reg-test root with <seq>/groundtruths.txt")
+    p.add_argument("--oxford-root", default=None,
+                   help="oxford dataroot (reads test groundtruths.pkl)")
     p.add_argument("--inlier-radius", type=float, default=0.5)
     p.set_defaults(fn=cmd_eval_repeatability)
 
@@ -253,6 +255,7 @@ def main(argv=None):
     p.add_argument("--desc-dir", required=True)
     p.add_argument("--gt-dir", default=None)
     p.add_argument("--kitti-gt", default=None)
+    p.add_argument("--oxford-root", default=None)
     p.add_argument("--desc-dim", type=int, default=128)
     p.add_argument("--inlier-threshold", type=float, default=1.0)
     p.add_argument("--max-trials", type=int, default=10000)
