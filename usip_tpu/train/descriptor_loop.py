@@ -121,15 +121,19 @@ class DescriptorEngine:
                          cfg.train.lr_decay_ratio, cfg.train.lr_clip)
         self.state = set_learning_rate(self.state, lr)
         averages = RunningAverages()
+        pending = []
         for i, raw in enumerate(self.train_loader):
             batch = self._device_batch(raw)
-            key = jax.random.fold_in(self._key, int(self.state.step))
+            key = jax.random.fold_in(self._key,
+                                     cfg.train.seed + 1_000_000 * epoch + i)
             self.state, metrics = self.step_fn(self.state, self.det_state,
                                                batch, key, jnp.asarray(epoch))
+            pending.append(metrics)
             if i % cfg.train.log_every == 0:
                 self.logger.log(int(self.state.step), epoch,
                                 {k: float(v) for k, v in metrics.items()},
                                 prefix="desc")
+        for metrics in pending:
             averages.update({k: float(v) for k, v in metrics.items()})
         return averages.averages()
 

@@ -98,9 +98,15 @@ class DetectorEngine:
         self.state = set_learning_rate(self.state, lr)
         averages = RunningAverages()
         self.throughput.reset()
+        # keep metrics on device during the epoch: a per-step host sync would
+        # serialize host and chip (10x throughput loss at KITTI scale); only the
+        # periodic log line and the NaN guard touch the host
+        step_count = 0
+        pending = []  # (device metrics, weight) — converted at epoch end
         for i, raw in enumerate(self.train_loader):
             batch = self._device_batch(raw)
-            step_key = jax.random.fold_in(self._key, int(self.state.step))
+            step_key = jax.random.fold_in(self._key,
+                                          cfg.train.seed + 1_000_000 * epoch + i)
             profiling = (self.profile_dir is not None and epoch == 0
                          and i == 10)
             if profiling:
@@ -110,27 +116,29 @@ class DetectorEngine:
             if profiling:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
-            loss_val = float(metrics["loss"])
-            if not np.isfinite(loss_val):
-                self._nonfinite_streak += 1
-                self.logger.log(int(self.state.step), epoch,
-                                {"nonfinite_loss": 1.0}, prefix="warn")
-                if self._nonfinite_streak >= self.max_nonfinite:
-                    raise FloatingPointError(
-                        f"{self._nonfinite_streak} consecutive non-finite "
-                        f"losses at step {int(self.state.step)} — aborting "
-                        "(restore from the last checkpoint and lower the LR)")
-            else:
-                self._nonfinite_streak = 0
+            pending.append((metrics, raw["src_pc"].shape[0]))
+            step_count += 1
             # siamese step = 2 clouds per batch item
             self.throughput.add(raw["src_pc"].shape[0] * 2)
             if i % cfg.train.log_every == 0:
+                loss_val = float(metrics["loss"])  # the only per-interval sync
+                if not np.isfinite(loss_val):
+                    self._nonfinite_streak += 1
+                    self.logger.log(int(self.state.step), epoch,
+                                    {"nonfinite_loss": 1.0}, prefix="warn")
+                    if self._nonfinite_streak >= self.max_nonfinite:
+                        raise FloatingPointError(
+                            f"non-finite loss at step {int(self.state.step)} — "
+                            "aborting (restore the last checkpoint, lower LR)")
+                else:
+                    self._nonfinite_streak = 0
                 host = {k: float(v) for k, v in metrics.items()}
                 host["lr"] = lr
                 host["clouds_per_sec_per_chip"] = self.throughput.rate()
                 self.logger.log(int(self.state.step), epoch, host, prefix="train")
+        for metrics, weight in pending:
             averages.update({k: float(v) for k, v in metrics.items()},
-                            weight=raw["src_pc"].shape[0])
+                            weight=weight)
         return averages.averages()
 
     def test_epoch(self, epoch: int) -> Dict[str, float]:
