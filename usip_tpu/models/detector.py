@@ -146,8 +146,9 @@ class Detector(nn.Module):
         cfg = self.cfg
         b, n, _ = pc.shape
         m = node.shape[1]
-        assign = assign_points_to_nodes(jax.lax.stop_gradient(pc),
-                                        jax.lax.stop_gradient(node), k=cfg.k)
+        assign = assign_points_to_nodes(
+            jax.lax.stop_gradient(pc), jax.lax.stop_gradient(node), k=cfg.k,
+            compute_dtype=_dtype_of(cfg))
         ids = assign.ids                                   # (B, kN)
         occ = assign.occupancy[..., None]                  # (B, M, 1)
         pc_stack = jnp.tile(pc, (1, cfg.k, 1))             # (B, kN, 3)

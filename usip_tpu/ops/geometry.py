@@ -17,7 +17,8 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def pairwise_sqdist(a: Array, b: Array, *, exact: bool = False) -> Array:
+def pairwise_sqdist(a: Array, b: Array, *, exact: bool = False,
+                    compute_dtype=None) -> Array:
     """Squared euclidean distances between two point sets.
 
     Args:
@@ -25,6 +26,11 @@ def pairwise_sqdist(a: Array, b: Array, *, exact: bool = False) -> Array:
       b: ``(..., N, D)``.
       exact: use the O(M*N*D)-memory difference formulation (numerically exact;
         for tests / tiny inputs). Default uses the matmul expansion (MXU).
+      compute_dtype: dtype of the (..., M, N) matrix. Default fp32 at HIGHEST
+        matmul precision (losses/geometry). ``jnp.bfloat16`` halves the HBM
+        traffic of the dominant tensor — appropriate where only an argmin/top-k
+        is consumed and near-tie flips are distributionally harmless (the
+        point->node assignment).
 
     Returns:
       ``(..., M, N)`` squared distances, clamped at 0.
@@ -36,6 +42,11 @@ def pairwise_sqdist(a: Array, b: Array, *, exact: bool = False) -> Array:
     b = b.astype(jnp.float32)
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (..., M, 1)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)  # (..., N, 1)
+    if compute_dtype == jnp.bfloat16:
+        cross = jnp.einsum("...md,...nd->...mn", a, b,
+                           preferred_element_type=jnp.float32)
+        sq = (a2 - 2.0 * cross + jnp.swapaxes(b2, -1, -2)).astype(jnp.bfloat16)
+        return jnp.maximum(sq, 0)
     # HIGHEST precision: distance geometry must not drop to bf16 on the MXU
     cross = jnp.einsum("...md,...nd->...mn", a, b,
                        preferred_element_type=jnp.float32,

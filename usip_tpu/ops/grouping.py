@@ -43,20 +43,24 @@ class NodeAssignment(NamedTuple):
     counts: Array
 
 
-def assign_points_to_nodes(points: Array, nodes: Array, k: int = 1) -> NodeAssignment:
+def assign_points_to_nodes(points: Array, nodes: Array, k: int = 1,
+                           compute_dtype=None) -> NodeAssignment:
     """For each point, its k nearest nodes (k-major flattened), plus node occupancy.
 
     Args:
       points: ``(B, N, 3)``.
       nodes: ``(B, M, 3)``.
       k: number of nearest nodes per point (reference opt.k; 1 in all released runs).
+      compute_dtype: dtype of the (B, N, M) distance matrix; bf16 halves the
+        traffic of the forward's biggest tensor (only the argmin is consumed, so
+        near-tie assignment flips are distributionally harmless).
 
     Avoids materializing the reference's one-hot ``(B, kN, M)`` mask; occupancy and
     counts come from a segment-sum instead.
     """
     b, n, _ = points.shape
     m = nodes.shape[1]
-    sq = pairwise_sqdist(points, nodes)  # (B, N, M)
+    sq = pairwise_sqdist(points, nodes, compute_dtype=compute_dtype)  # (B, N, M)
     if k == 1:
         ids = jnp.argmin(sq, axis=-1).astype(jnp.int32)  # (B, N)
     else:

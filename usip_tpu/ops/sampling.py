@@ -38,7 +38,8 @@ def _fps_single(points: Array, k: int, first: Array) -> Tuple[Array, Array]:
         dists = jnp.minimum(dists, dist_to(far))
         return dists, idxs
 
-    dists, idxs = jax.lax.fori_loop(1, k, body, (dist_to(first), idxs0))
+    dists, idxs = jax.lax.fori_loop(1, k, body, (dist_to(first), idxs0),
+                                    unroll=4)
     return points[idxs], idxs
 
 
