@@ -240,3 +240,32 @@ def test_train_step_grouping_variants(grouping):
     assert np.isfinite(losses_seq).all()
     # compare window means: single-step deltas are noisy under augmentation
     assert np.mean(losses_seq[-4:]) < np.mean(losses_seq[:4])
+
+
+def test_descriptor_engine_test_sweep(tmp_path):
+    """Descriptor engine runs a per-epoch test sweep like the reference's
+    train_descriptor loops."""
+    from usip_tpu.data.pipeline import BatchLoader
+    from usip_tpu.train.checkpoint import save_checkpoint
+    from usip_tpu.train.descriptor_loop import (DescriptorEngine,
+                                                _SyntheticPairDataset)
+
+    cfg = _tiny_config().with_overrides(
+        **{"descriptor.descriptor_len": 16, "descriptor.ball_nsamples": 8,
+           "descriptor.ball_radius": 0.6, "descriptor.surface_normal_len": 3})
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    ckpt = os.path.join(tmp_path, "det.msgpack")
+    save_checkpoint(ckpt, state)
+    test_loader = BatchLoader(_SyntheticPairDataset(cfg, size=8, seed=5),
+                              cfg.train.batch_size, shuffle=False,
+                              num_workers=1)
+    engine = DescriptorEngine(cfg, ckpt, synthetic=True,
+                              test_loader=test_loader,
+                              out_dir=os.path.join(tmp_path, "d"))
+    engine.train_epoch(0)
+    test_avg = engine.test_epoch(0)
+    assert np.isfinite(test_avg["loss"])
+    # eval does not advance the optimizer
+    step_before = int(engine.state.step)
+    engine.test_epoch(1)
+    assert int(engine.state.step) == step_before

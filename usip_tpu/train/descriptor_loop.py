@@ -58,6 +58,7 @@ class _SyntheticPairDataset:
 class DescriptorEngine:
     def __init__(self, cfg: Config, detector_checkpoint: str,
                  train_loader: Optional[BatchLoader] = None,
+                 test_loader: Optional[BatchLoader] = None,
                  mine_negatives=None, use_cgf: Optional[bool] = None,
                  synthetic: bool = False, out_dir: Optional[str] = None):
         self.cfg = cfg
@@ -90,12 +91,18 @@ class DescriptorEngine:
                                        num_workers=2)
             mine_negatives = None
         self.train_loader = train_loader
+        self.test_loader = test_loader
         self.mine_negatives = mine_negatives
 
         self.step_fn = jax.jit(
             make_descriptor_train_step(cfg, self.detector, self.descriptor,
                                        use_cgf=self.use_cgf),
             donate_argnums=(0,))
+        # eval = the same objective without the gradient step (the reference's
+        # per-epoch descriptor test sweep, oxford/train_descriptor.py test loop)
+        self.eval_fn = jax.jit(
+            make_descriptor_train_step(cfg, self.detector, self.descriptor,
+                                       use_cgf=self.use_cgf, eval_only=True))
         self.logger = MetricsLogger(self.out_dir, cfg.train.name + "_desc")
         self._key = jax.random.PRNGKey(cfg.train.seed + 13)
 
@@ -137,11 +144,27 @@ class DescriptorEngine:
             averages.update({k: float(v) for k, v in metrics.items()})
         return averages.averages()
 
+    def test_epoch(self, epoch: int) -> Dict[str, float]:
+        if self.test_loader is None:
+            return {}
+        averages = RunningAverages()
+        for i, raw in enumerate(self.test_loader):
+            batch = self._device_batch(raw)
+            key = jax.random.fold_in(self._key, 10_000_000 + i)
+            _, metrics = self.eval_fn(self.state, self.det_state, batch, key,
+                                      jnp.asarray(epoch))
+            averages.update({k: float(v) for k, v in metrics.items()})
+        avg = averages.averages()
+        if avg:
+            self.logger.log(int(self.state.step), epoch, avg, prefix="desc_test")
+        return avg
+
     def fit(self, epochs: Optional[int] = None):
         epochs = epochs or self.cfg.train.epochs
         for epoch in range(epochs):
             avg = self.train_epoch(epoch)
             self.logger.log(int(self.state.step), epoch, avg, prefix="desc_epoch")
+            self.test_epoch(epoch)
             save_checkpoint(os.path.join(self.out_dir, "last.msgpack"),
                             self.state, metadata={"epoch": epoch, **avg})
         return self.state

@@ -232,7 +232,8 @@ class DescriptorBatch(NamedTuple):
 
 
 def make_descriptor_train_step(cfg: Config, detector: Detector,
-                               descriptor: Descriptor, use_cgf: bool = False):
+                               descriptor: Descriptor, use_cgf: bool = False,
+                               eval_only: bool = False):
     """Returns ``step(desc_state, det_state, batch, key, epoch)``.
 
     The detector is frozen (run under stop_gradient / eval mode) and produces
@@ -320,6 +321,9 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
             metrics = {"loss": total, "active_percentage": jnp.mean(active)}
             return total, (new_stats, metrics)
 
+        if eval_only:
+            _, (_, metrics) = loss_fn(desc_state.params)
+            return desc_state, metrics
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(desc_state.params)
         new_state = desc_state.apply_gradients(grads, new_stats)
