@@ -258,3 +258,26 @@ def test_device_prefetch():
     assert len(batches) == 2
     assert isinstance(batches[0]["src_pc"], jax.Array)
     assert batches[0]["src_pc"].shape == (4, 16, 3)
+
+
+def test_oxford_descriptor_test_mode(tmp_path):
+    """Test-mode descriptor pairs come from groundtruths.pkl anc/pos indices."""
+    rng = np.random.default_rng(7)
+    root = str(tmp_path / "oxford")
+    folder = os.path.join(root, "test_models_20k_np_nofilter")
+    os.makedirs(folder, exist_ok=True)
+    for i in range(4):
+        np.save(os.path.join(folder, f"{i}.npy"),
+                rng.normal(size=(200, 8)).astype(np.float32))
+    gts = [{"anc_idx": 0, "pos_idx": 2, "neg_idx": 3, "t": [0, 0, 0],
+            "q": [1, 0, 0, 0]},
+           {"anc_idx": 1, "pos_idx": 3, "neg_idx": 0, "t": [0, 0, 0],
+            "q": [1, 0, 0, 0]}]
+    with open(os.path.join(folder, "groundtruths.pkl"), "wb") as f:
+        pickle.dump(gts, f)
+    cfg = DataConfig(dataset="oxford", dataroot=root, input_pc_num=64)
+    ds = OxfordDescriptorDataset(cfg, "test", sn_len=4)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["anc_pc"].shape == (64, 3)
+    assert item["pos_pc"].shape == (64, 3)

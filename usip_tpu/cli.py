@@ -127,8 +127,17 @@ def cmd_train_descriptor(args):
                              "scenenn only)")
         loader = BatchLoader(ds, cfg.train.batch_size, shuffle=True,
                              num_workers=cfg.data.num_workers)
+        test_loader = None
+        try:
+            test_ds = type(ds)(cfg.data, "test", sn_len=sn)
+            test_loader = BatchLoader(test_ds, cfg.train.batch_size,
+                                      shuffle=False,
+                                      num_workers=cfg.data.num_workers)
+        except (FileNotFoundError, OSError):
+            pass  # no test split on disk
         engine = DescriptorEngine(cfg, args.detector_checkpoint,
-                                  train_loader=loader, mine_negatives=mine)
+                                  train_loader=loader, test_loader=test_loader,
+                                  mine_negatives=mine)
     engine.fit()
 
 

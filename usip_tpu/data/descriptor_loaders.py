@@ -51,8 +51,12 @@ class OxfordDescriptorDataset:
         return len(self.items)
 
     def _load_line(self, line_idx: int) -> np.ndarray:
-        fn = self.items[line_idx]["file"]
-        return np.load(os.path.join(self.folder, fn[0:-3] + "npy"))
+        if self.mode == "train":
+            fn = self.items[line_idx]["file"]
+            return np.load(os.path.join(self.folder, fn[0:-3] + "npy"))
+        # test entries are groundtruths.pkl rows with anc_idx/pos_idx
+        return np.load(os.path.join(self.folder,
+                                    f"{self.items[line_idx]['anc_idx']}.npy"))
 
     def _prep(self, rng, data) -> Tuple[np.ndarray, np.ndarray]:
         data = subsample_fixed(rng, data, self.cfg.input_pc_num)
@@ -65,9 +69,15 @@ class OxfordDescriptorDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         rng = self._rng
         anc_pc, anc_sn = self._prep(rng, self._load_line(index))
-        pos_list = self.items[index]["pos_list"]
-        pos_idx = int(pos_list[rng.integers(0, len(pos_list))]) if pos_list else index
-        pos_pc, pos_sn = self._prep(rng, self._load_line(pos_idx))
+        if self.mode == "train":
+            pos_list = self.items[index]["pos_list"]
+            pos_idx = (int(pos_list[rng.integers(0, len(pos_list))])
+                       if pos_list else index)
+            pos = self._load_line(pos_idx)
+        else:
+            pos = np.load(os.path.join(
+                self.folder, f"{self.items[index]['pos_idx']}.npy"))
+        pos_pc, pos_sn = self._prep(rng, pos)
         return {"anc_pc": anc_pc, "anc_sn": anc_sn,
                 "pos_pc": pos_pc, "pos_sn": pos_sn,
                 "index": np.int64(index)}
