@@ -281,3 +281,94 @@ def test_oxford_descriptor_test_mode(tmp_path):
     item = ds[0]
     assert item["anc_pc"].shape == (64, 3)
     assert item["pos_pc"].shape == (64, 3)
+
+
+def test_native_batch_fast_path(tmp_path):
+    """Datasets expose item_path/get_batch; the native thread-pooled loader
+    assembles whole siamese batches (usip_native.cpp usip_batch_load_subsample)
+    with points drawn from the file and the oxford ENU->cam flip applied."""
+    from usip_tpu import native
+
+    root = str(tmp_path / "modelnet")
+    _make_modelnet_tree(root, n_shapes=4, pts=200)
+    cfg = DataConfig(dataset="modelnet", dataroot=root, input_pc_num=64)
+    ds = ModelNetDataset(cfg, "train", sn_len=3)
+    assert ds.item_path(1) is not None
+    batch = ds.get_batch([0, 1, 2, 3])
+    if not native.available():
+        assert batch is None
+        return
+    assert batch["src_pc"].shape == (4, 64, 3)
+    assert batch["src_sn"].shape == (4, 64, 3)
+    assert not np.array_equal(batch["src_pc"], batch["dst_pc"])
+    # every batch point must be a row of the source file
+    f0 = np.load(ds.item_path(0))
+    d = np.abs(batch["src_pc"][0][:, None, :] - f0[None, :, :3]).sum(-1)
+    assert float(d.min(axis=1).max()) < 1e-6
+
+    # BatchLoader integration: batches flow through the fast path
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 1 and batches[0]["src_pc"].shape == (4, 64, 3)
+
+
+def test_native_batch_oxford_flip(tmp_path):
+    from usip_tpu import native
+
+    if not native.available():
+        return
+    root = str(tmp_path / "oxford")
+    _make_oxford_tree(root)
+    cfg = DataConfig(dataset="oxford", dataroot=root, input_pc_num=64)
+    ds = OxfordDataset(cfg, "train", sn_len=4)
+    batch = ds.get_batch([0, 1])
+    assert batch is not None and batch["src_pc"].shape == (2, 64, 3)
+    # flipped: each point equals ENU->cam of some file row
+    raw = np.load(ds.item_path(0))
+    enu = raw[:, :3]
+    cam = np.stack([enu[:, 0], -enu[:, 2], enu[:, 1]], axis=1)
+    d = np.abs(batch["src_pc"][0][:, None, :] - cam[None, :, :]).sum(-1)
+    assert float(d.min(axis=1).max()) < 1e-6
+    # sn: first 3 channels flipped too, 4th passthrough
+    sn_cam = np.stack([raw[:, 3], -raw[:, 5], raw[:, 4], raw[:, 6]], axis=1)
+    d = np.abs(batch["src_sn"][0][:, None, :] - sn_cam[None, :, :]).sum(-1)
+    assert float(d.min(axis=1).max()) < 1e-6
+
+
+def test_native_batch_kitti_crop_fallback(tmp_path):
+    root = str(tmp_path / "kitti")
+    _make_kitti_tree(root, seqs=tuple(range(9)), frames=2)
+    cropped = DataConfig(dataset="kitti", dataroot=root, input_pc_num=64,
+                         crop_radius=30.0)
+    assert KittiDataset(cropped, "train", sn_len=4).item_path(0) is None
+    full = DataConfig(dataset="kitti", dataroot=root, input_pc_num=64)
+    assert KittiDataset(full, "train", sn_len=4).item_path(0) is not None
+
+
+def test_parent_cloud_dataset(tmp_path):
+    """ParentCloudDataset view: fixed-size parent items + native batch path."""
+    import dataclasses
+
+    from usip_tpu.data.loaders import ParentCloudDataset
+
+    root = str(tmp_path / "modelnet")
+    _make_modelnet_tree(root, n_shapes=4, pts=200)
+    cfg = DataConfig(dataset="modelnet", dataroot=root, input_pc_num=64,
+                     device_sampling=True, parent_pc_num=128)
+    base = ModelNetDataset(cfg, "train", sn_len=3)
+    view = ParentCloudDataset(base)
+    assert len(view) == 4
+    item = view[0]
+    assert item["pc"].shape == (128, 3) and item["sn"].shape == (128, 3)
+    batch = view.get_batch([0, 1])
+    if batch is not None:
+        assert batch["pc"].shape == (2, 128, 3)
+
+    # validation errors
+    import pytest as _pytest
+    bad = dataclasses.replace(cfg, parent_pc_num=None)
+    with _pytest.raises(ValueError):
+        ParentCloudDataset(ModelNetDataset(bad, "train", sn_len=3))
+    bad2 = dataclasses.replace(cfg, parent_pc_num=32)
+    with _pytest.raises(ValueError):
+        ParentCloudDataset(ModelNetDataset(bad2, "train", sn_len=3))

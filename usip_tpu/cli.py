@@ -68,11 +68,16 @@ def _make_loaders(cfg, args, sn_len):
         test_ds = SyntheticDataset(size=16, input_pc_num=cfg.data.input_pc_num,
                                    surface_normal_len=sn_len, seed=1)
     else:
-        from usip_tpu.data.loaders import make_detector_dataset
+        from usip_tpu.data.loaders import (ParentCloudDataset,
+                                           make_detector_dataset)
         train_ds = make_detector_dataset(cfg.data.dataset, cfg.data, "train",
                                          sn_len)
         test_ds = make_detector_dataset(cfg.data.dataset, cfg.data, "test",
                                         sn_len)
+        if cfg.data.device_sampling:
+            # ship the parent cloud once; siamese subsamples drawn on device
+            train_ds = ParentCloudDataset(train_ds)
+            test_ds = ParentCloudDataset(test_ds)
     train = BatchLoader(train_ds, cfg.train.batch_size, shuffle=True,
                         num_workers=cfg.data.num_workers)
     test = BatchLoader(test_ds, cfg.train.batch_size, shuffle=False,

@@ -156,6 +156,21 @@ class DataConfig:
     # descriptor positive-pair search radius (kitti_descriptor_loader.py:154)
     positive_radius: float = 5.0
     negative_radius: float = 50.0
+    # --- wire-efficiency knobs (host->device transfer is serialized with
+    # compute on remote-attached TPUs; see PERFORMANCE.md engine section) ---
+    # ship the parent cloud once and draw both siamese subsamples on device
+    # (instead of 2x input_pc_num points per item over the wire)
+    device_sampling: bool = False
+    # fixed parent-cloud size for device_sampling (e.g. 20480 for the kitti
+    # np_0.20_20480_r90_sn tree); must be >= input_pc_num
+    parent_pc_num: Optional[int] = None
+    # 'slice' (free; requires host-shuffled parent rows, which the loaders
+    # guarantee) or 'topk' (exactly-independent subsets, ~30 ms/step at kitti
+    # scale) — see train/steps.py _as_siamese
+    device_sampling_mode: str = "slice"
+    # dtype of point/normal arrays on the wire; float16 halves transfer bytes
+    # (decoded to float32 on device before any geometry)
+    wire_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -229,8 +244,11 @@ def _object_preset() -> Config:
 def _oxford_preset() -> Config:
     """Oxford RobotCar detector (reference oxford/options_detector.py)."""
     return Config(
+        # device_sampling: ship each ~20k-pt submap once (fp32 wire — ENU
+        # magnitudes are not crop-bounded like kitti's r90)
         data=DataConfig(dataset="oxford", input_pc_num=16384, node_num=512,
-                        fps_subsample_ratio=8),
+                        fps_subsample_ratio=8, device_sampling=True,
+                        parent_pc_num=20480),
         detector=DetectorConfig(
             grouping="som", c1=128, c2=512, node_knn_k=16,
             surface_normal_len=4, sigma_lower_bound=1e-3,
@@ -250,8 +268,13 @@ def _oxford_preset() -> Config:
 def _kitti_preset() -> Config:
     """KITTI detector (reference kitti/options_detector.py)."""
     return Config(
+        # device_sampling: the disk tree is fixed 20480-pt clouds
+        # (np_0.20_20480_r90_sn) — ship the parent once in fp16 (|x| < 90 m
+        # after the r90 crop -> <=0.03 m quantization vs the 0.2 m voxel grid)
+        # and draw both siamese subsamples on device
         data=DataConfig(dataset="kitti", input_pc_num=16384, node_num=512,
-                        fps_subsample_ratio=8),
+                        fps_subsample_ratio=8, device_sampling=True,
+                        parent_pc_num=20480, wire_dtype="float16"),
         detector=DetectorConfig(
             grouping="som", c1=128, c2=512, node_knn_k=16,
             surface_normal_len=4, sigma_lower_bound=1e-3,

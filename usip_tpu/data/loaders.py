@@ -43,8 +43,11 @@ class SiameseDetectorDataset:
     def __len__(self) -> int:
         raise NotImplementedError
 
-    def sample_instance(self, rng: np.random.Generator,
-                        index: int) -> Tuple[np.ndarray, np.ndarray]:
+    def sample_instance(self, rng: np.random.Generator, index: int,
+                        n: Optional[int] = None
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """One fixed-size sampling of item ``index``; ``n`` defaults to
+        cfg.input_pc_num (parent-cloud callers pass cfg.parent_pc_num)."""
         raise NotImplementedError
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
@@ -53,6 +56,38 @@ class SiameseDetectorDataset:
         dst_pc, dst_sn = self.sample_instance(rng, index)
         return {"src_pc": src_pc, "src_sn": src_sn,
                 "dst_pc": dst_pc, "dst_sn": dst_sn}
+
+    # -------------------- native batch fast path (usip_native.cpp) ----------
+    # Datasets whose item is a plain Nx(3+sn) .npy needing only
+    # subsample+split return the file path here; the thread-pooled C++ loader
+    # then assembles the whole batch in one GIL-free call (the reference's
+    # DataLoader(num_workers) analog, kitti/options_detector.py:25).
+
+    def item_path(self, index: int) -> Optional[str]:
+        return None
+
+    def post_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Hook for cheap whole-batch post-processing (e.g. coordinate flips)."""
+        return batch
+
+    def get_batch(self, indices: Sequence[int]) -> Optional[Dict[str, np.ndarray]]:
+        """Assemble a siamese batch via the native loader, or None to signal
+        the caller to fall back to per-item ``__getitem__``."""
+        from usip_tpu import native
+        if not native.available():
+            return None
+        paths = [self.item_path(int(i)) for i in indices]
+        if any(p is None for p in paths):
+            return None
+        n = self.cfg.input_pc_num
+        seed_src = int(self._rng.integers(0, 2 ** 62))
+        seed_dst = int(self._rng.integers(0, 2 ** 62))
+        src_pc, src_sn = native.batch_load_subsample(paths, n, self.sn_len,
+                                                     seed=seed_src)
+        dst_pc, dst_sn = native.batch_load_subsample(paths, n, self.sn_len,
+                                                     seed=seed_dst)
+        return self.post_batch({"src_pc": src_pc, "src_sn": src_sn,
+                                "dst_pc": dst_pc, "dst_sn": dst_sn})
 
 
 class ModelNetDataset(SiameseDetectorDataset):
@@ -77,11 +112,14 @@ class ModelNetDataset(SiameseDetectorDataset):
     def __len__(self):
         return len(self.items)
 
-    def sample_instance(self, rng, index):
+    def sample_instance(self, rng, index, n=None):
         path, _ = self.items[index]
         data = np.load(path)
-        data = subsample_fixed(rng, data, self.cfg.input_pc_num)
+        data = subsample_fixed(rng, data, n or self.cfg.input_pc_num)
         return split_pc_sn(data, self.sn_len)
+
+    def item_path(self, index):
+        return self.items[index][0]
 
 
 class ShrecDataset(SiameseDetectorDataset):
@@ -110,11 +148,11 @@ class ShrecDataset(SiameseDetectorDataset):
     def __len__(self):
         return len(self.items)
 
-    def sample_instance(self, rng, index):
+    def sample_instance(self, rng, index, n=None):
         data = np.load(self.items[index])
         pc, sn = data["pc"], data["sn"]
         merged = np.concatenate([pc, sn], axis=1)
-        merged = subsample_fixed(rng, merged, self.cfg.input_pc_num)
+        merged = subsample_fixed(rng, merged, n or self.cfg.input_pc_num)
         return split_pc_sn(merged, self.sn_len)
 
 
@@ -161,13 +199,36 @@ class OxfordDataset(SiameseDetectorDataset):
         anc_idx = self.items[index]["anc_idx"]
         return np.load(os.path.join(self.folder, f"{anc_idx}.npy"))
 
-    def sample_instance(self, rng, index):
-        data = subsample_fixed(rng, self._load(index), self.cfg.input_pc_num)
+    def sample_instance(self, rng, index, n=None):
+        data = subsample_fixed(rng, self._load(index), n or self.cfg.input_pc_num)
         pc, sn = split_pc_sn(data, self.sn_len)
         pc = coordinate_enu_to_cam(pc)
         if self.sn_len >= 3:
             sn = np.concatenate([coordinate_enu_to_cam(sn[:, :3]), sn[:, 3:]], 1)
         return pc, sn
+
+    def item_path(self, index):
+        if self.mode == "train":
+            fn = self.items[index]["file"]
+            return os.path.join(self.folder, fn[0:-3] + "npy")
+        return os.path.join(self.folder, f"{self.items[index]['anc_idx']}.npy")
+
+    def post_batch(self, batch):
+        # ENU->cam on the stacked (B, N, 3) arrays (elementwise column swap);
+        # applies to siamese (src_/dst_) and parent-cloud (pc/sn) batches alike
+        def flip(a):
+            out = np.copy(a)
+            out[..., 1] = -a[..., 2]
+            out[..., 2] = a[..., 1]
+            return out
+
+        for k in batch:
+            if k.endswith("pc"):
+                batch[k] = flip(batch[k])
+            elif k.endswith("sn") and self.sn_len >= 3:
+                batch[k] = np.concatenate(
+                    [flip(batch[k][..., :3]), batch[k][..., 3:]], axis=-1)
+        return batch
 
 
 KITTI_NP_FOLDER = "np_0.20_20480_r90_sn"
@@ -204,13 +265,19 @@ class KittiDataset(SiameseDetectorDataset):
                                     f"{in_seq:06d}.npz"))["pose"]
         return seq, pose
 
-    def sample_instance(self, rng, index):
+    def sample_instance(self, rng, index, n=None):
         i, seq, in_seq = self.locate(index)
         data = np.load(os.path.join(self.folders[i], f"{in_seq:06d}.npy"))
         if self.cfg.crop_radius is not None and self.cfg.crop_radius < 90:
             data = radius_crop(data, self.cfg.crop_radius)
-        data = subsample_fixed(rng, data, self.cfg.input_pc_num)
+        data = subsample_fixed(rng, data, n or self.cfg.input_pc_num)
         return split_pc_sn(data, self.sn_len)
+
+    def item_path(self, index):
+        if self.cfg.crop_radius is not None and self.cfg.crop_radius < 90:
+            return None  # native path has no radius crop; use __getitem__
+        i, _, in_seq = self.locate(index)
+        return os.path.join(self.folders[i], f"{in_seq:06d}.npy")
 
 
 class SceneNNDataset(SiameseDetectorDataset):
@@ -230,10 +297,13 @@ class SceneNNDataset(SiameseDetectorDataset):
     def __len__(self):
         return self.sample_num
 
-    def sample_instance(self, rng, index):
+    def sample_instance(self, rng, index, n=None):
         data = np.load(os.path.join(self.frame_folder, f"{index}.npy"))
-        data = subsample_fixed(rng, data, self.cfg.input_pc_num)
+        data = subsample_fixed(rng, data, n or self.cfg.input_pc_num)
         return split_pc_sn(data, self.sn_len)
+
+    def item_path(self, index):
+        return os.path.join(self.frame_folder, f"{index}.npy")
 
 
 class Match3DDataset(SiameseDetectorDataset):
@@ -259,10 +329,59 @@ class Match3DDataset(SiameseDetectorDataset):
     def __len__(self):
         return len(self.files)
 
-    def sample_instance(self, rng, index):
+    def sample_instance(self, rng, index, n=None):
         data = np.load(self.files[index])
-        data = subsample_fixed(rng, data, self.cfg.input_pc_num)
+        data = subsample_fixed(rng, data, n or self.cfg.input_pc_num)
         return split_pc_sn(data, self.sn_len)
+
+    def item_path(self, index):
+        return self.files[index]
+
+
+class ParentCloudDataset:
+    """View over a SiameseDetectorDataset for device-side siamese sampling
+    (cfg.device_sampling): each item is the parent cloud at a fixed size
+    {pc (P,3), sn (P,S)}; the train step draws both input_pc_num-subsamples on
+    device (train/steps.py ParentBatch), so only one copy crosses the wire.
+
+    Parent rows are always emitted in uniformly random order (native partial
+    Fisher-Yates / subsample_fixed), which the train step's 'slice' sampling
+    mode relies on (train/steps.py _as_siamese). Files larger than
+    parent_pc_num are host-subsampled to P first, which mildly correlates the
+    siamese pair vs the reference's independent draws
+    (kitti_detector_loader.py:101-147) — at kitti scale the tree is exactly
+    20480 pts so the parent is the whole cloud."""
+
+    def __init__(self, base: SiameseDetectorDataset):
+        self.base = base
+        self.cfg = base.cfg
+        p = base.cfg.parent_pc_num
+        if p is None:
+            raise ValueError("device_sampling requires data.parent_pc_num")
+        if p < base.cfg.input_pc_num:
+            raise ValueError(
+                f"parent_pc_num {p} < input_pc_num {base.cfg.input_pc_num}")
+        self.parent_pc_num = p
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        pc, sn = self.base.sample_instance(self.base._rng, index,
+                                           n=self.parent_pc_num)
+        return {"pc": pc, "sn": sn}
+
+    def get_batch(self, indices: Sequence[int]) -> Optional[Dict[str, np.ndarray]]:
+        from usip_tpu import native
+        if not native.available():
+            return None
+        paths = [self.base.item_path(int(i)) for i in indices]
+        if any(p is None for p in paths):
+            return None
+        seed = int(self.base._rng.integers(0, 2 ** 62))
+        pc, sn = native.batch_load_subsample(paths, self.parent_pc_num,
+                                             self.base.sn_len, seed=seed)
+        return self.base.post_batch({"pc": pc, "sn": sn})
 
 
 DETECTOR_DATASETS = {

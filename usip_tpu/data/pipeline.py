@@ -80,12 +80,20 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        get_batch = getattr(self.dataset, "get_batch", None)
+
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for row in batches:
-                    items = list(pool.map(self.dataset.__getitem__,
-                                          [int(i) for i in row]))
-                    batch = collate(items)
+                    # Batch fast path first (native thread-pooled
+                    # load+subsample+split, usip_native.cpp
+                    # usip_batch_load_subsample — one GIL-free call); a None
+                    # return means this dataset/config isn't native-eligible.
+                    batch = get_batch(row) if get_batch is not None else None
+                    if batch is None:
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              [int(i) for i in row]))
+                        batch = collate(items)
                     if self.post_collate is not None:
                         batch = self.post_collate(batch, row)
                     q.put(batch)

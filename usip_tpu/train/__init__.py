@@ -13,6 +13,7 @@ from usip_tpu.train.state import (
 from usip_tpu.train.steps import (
     DescriptorBatch,
     DetectorBatch,
+    ParentBatch,
     make_descriptor_train_step,
     make_detector_eval_step,
     make_detector_infer,
@@ -26,6 +27,7 @@ __all__ = [
     "set_learning_rate",
     "DescriptorBatch",
     "DetectorBatch",
+    "ParentBatch",
     "make_descriptor_train_step",
     "make_detector_eval_step",
     "make_detector_infer",
