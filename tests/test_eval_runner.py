@@ -4,6 +4,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from usip_tpu.config import get_config
 from usip_tpu.eval.eval_runner import (load_gt_npy_dir, quat_to_rotm,
@@ -148,3 +149,98 @@ def test_run_export_noise(tmp_path):
     stats = run_export(cfg, ckpt, str(tmp_path / "noisy"), desired_num=8,
                        synthetic=True, noise_sigma=0.05)
     assert stats["frames"] == 16
+
+
+def test_coord_fixes_golden(tmp_path):
+    """cam->velodyne / cam->ENU conversions against hand-built transforms, and
+    frame-invariance of the repeatability metric (eval_rep.m:48,70-83)."""
+    import numpy as np
+
+    from usip_tpu.eval.eval_runner import (cam_to_enu, cam_to_velodyne,
+                                           make_coord_fix, read_kitti_calib)
+
+    # hand-built Tr (velodyne -> cam): the classic kitti-like axis permutation
+    # plus a translation
+    Tr = np.eye(4)
+    Tr[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+    Tr[:3, 3] = [0.1, -0.2, 0.3]
+    rng = np.random.default_rng(0)
+    pts_velo = rng.normal(size=(50, 3)) * 10
+    pts_cam = pts_velo @ Tr[:3, :3].T + Tr[:3, 3]
+    np.testing.assert_allclose(cam_to_velodyne(pts_cam, Tr), pts_velo,
+                               atol=1e-9)
+
+    # ENU flip: e=x_cam, n=z_cam, u=-y_cam; applying cam->enu to enu->cam
+    # round-trips (enu->cam: x=x, y=-z, z=y — augment.coordinate_enu_to_cam)
+    pts_enu = rng.normal(size=(20, 3))
+    pts_cam2 = np.stack([pts_enu[:, 0], -pts_enu[:, 2], pts_enu[:, 1]], axis=1)
+    np.testing.assert_allclose(cam_to_enu(pts_cam2), pts_enu, atol=1e-12)
+
+    # calib.txt parse golden
+    calib_dir = tmp_path / "calib" / "09"
+    calib_dir.mkdir(parents=True)
+    rows = " ".join(f"{v:.12e}" for v in Tr[:3].reshape(-1))
+    with open(calib_dir / "calib.txt", "w") as f:
+        for name in ("P0", "P1", "P2", "P3"):
+            f.write(f"{name}: " + " ".join(["0"] * 12) + "\n")
+        f.write("Tr: " + rows + "\n")
+    calib = read_kitti_calib(str(calib_dir / "calib.txt"))
+    np.testing.assert_allclose(calib["Tr"], Tr, atol=1e-9)
+
+    fix = make_coord_fix("kitti", str(tmp_path / "calib"))
+    np.testing.assert_allclose(fix(pts_cam, 9), pts_velo, atol=1e-9)
+
+    import pytest
+    with pytest.raises(ValueError):
+        make_coord_fix("kitti", None)
+    assert make_coord_fix("none") is None
+
+
+def test_repeatability_frame_invariance(tmp_path):
+    """Exports written in camera frame + --coord-fix must reproduce the
+    repeatability computed natively in the GT frame."""
+    import numpy as np
+
+    from usip_tpu.eval.eval_runner import (make_coord_fix, run_repeatability)
+    from usip_tpu.eval.export import write_keypoints_bin
+
+    Tr = np.eye(4)
+    th = 0.4
+    Tr[:3, :3] = np.array([[np.cos(th), -np.sin(th), 0],
+                           [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    Tr[:3, 3] = [1.0, 2.0, -0.5]
+    rng = np.random.default_rng(1)
+    kp_velo_anc = rng.normal(size=(32, 3)) * 5
+    # pos keypoints: half repeatable (within 0.5 m), half far away
+    T_gt = np.eye(4)
+    T_gt[:3, 3] = [2.0, 0.0, 0.0]  # pos -> anc translation
+    kp_velo_pos = (kp_velo_anc - T_gt[:3, 3]) + rng.normal(
+        scale=0.05, size=(32, 3))
+    kp_velo_pos[16:] += 100.0
+
+    calib_dir = tmp_path / "calib" / "00"
+    calib_dir.mkdir(parents=True)
+    with open(calib_dir / "calib.txt", "w") as f:
+        f.write("Tr: " + " ".join(f"{v:.12e}"
+                                  for v in Tr[:3].reshape(-1)) + "\n")
+
+    def write_tree(root, anc, pos):
+        (root / "00").mkdir(parents=True)
+        write_keypoints_bin(str(root / "00" / "0.bin"), anc)
+        write_keypoints_bin(str(root / "00" / "1.bin"), pos)
+
+    gt = [{"seq": 0, "anc_idx": 0, "pos_idx": 1, "T_gt": T_gt}]
+    # native (velodyne-frame) exports, no fix
+    native_root = tmp_path / "native"
+    write_tree(native_root, kp_velo_anc, kp_velo_pos)
+    mean_native, _ = run_repeatability(str(native_root), str(native_root), gt)
+
+    # camera-frame exports + kitti fix
+    cam_root = tmp_path / "cam"
+    to_cam = lambda p: p @ Tr[:3, :3].T + Tr[:3, 3]
+    write_tree(cam_root, to_cam(kp_velo_anc), to_cam(kp_velo_pos))
+    fix = make_coord_fix("kitti", str(tmp_path / "calib"))
+    mean_fixed, _ = run_repeatability(str(cam_root), str(cam_root), gt,
+                                      coord_fix=fix)
+    assert mean_native == pytest.approx(0.5, abs=0.01)
+    assert mean_fixed == pytest.approx(mean_native, abs=1e-6)

@@ -183,11 +183,18 @@ def _load_gt(args):
     return load_gt_npy_dir(args.gt_dir)
 
 
+def _coord_fix(args):
+    from usip_tpu.eval.eval_runner import make_coord_fix
+    return make_coord_fix(getattr(args, "coord_fix", None),
+                          getattr(args, "calib_root", None))
+
+
 def cmd_eval_repeatability(args):
     from usip_tpu.eval.eval_runner import run_repeatability
     gt = _load_gt(args)
     mean, arr = run_repeatability(args.anc_dir, args.pos_dir, gt,
-                                  inlier_radius=args.inlier_radius)
+                                  inlier_radius=args.inlier_radius,
+                                  coord_fix=_coord_fix(args))
     print(json.dumps({"repeatability": mean, "pairs": len(arr),
                       "min": float(arr.min()), "max": float(arr.max())}))
 
@@ -201,14 +208,58 @@ def cmd_eval_registration(args):
             stats = run_registration(args.kp_dir, args.desc_dir, gt,
                                      desc_dim=args.desc_dim,
                                      threshold=args.inlier_threshold,
-                                     max_trials=trials)
+                                     max_trials=trials,
+                                     coord_fix=_coord_fix(args))
             print(json.dumps({"max_trials": trials, **stats._asdict()}))
     else:
         stats = run_registration(args.kp_dir, args.desc_dir, gt,
                                  desc_dim=args.desc_dim,
                                  threshold=args.inlier_threshold,
-                                 max_trials=args.max_trials)
+                                 max_trials=args.max_trials,
+                                 coord_fix=_coord_fix(args))
         print(json.dumps(stats._asdict()))
+
+
+def cmd_eval_indoor(args):
+    """3DMatch/Redwood fragment-registration eval (ElasticReconstruction lite
+    protocol — eval_indoor/fullEvaluation.m): register gated pairs per scene
+    into <out>/<scene>.log, then recall/precision vs gt. With --logs-only,
+    evaluates existing logs (the Redwood loop protocol, eval_loop.m)."""
+    import numpy as np
+
+    from usip_tpu.eval import indoor
+
+    scenes = args.scenes.split(",")
+    logs = {}
+    if args.logs_only:
+        for scene in scenes:
+            logs[scene] = os.path.join(args.log_dir, f"{scene}.log")
+    else:
+        os.makedirs(args.out, exist_ok=True)
+        for scene in scenes:
+            pc_dir = os.path.join(args.pc_root, scene)
+            res_dir = os.path.join(args.result_root, scene)
+            n_frag = len([f for f in os.listdir(pc_dir) if f.endswith(".npy")])
+            fragments = []
+            for i in range(n_frag):
+                pc = np.load(os.path.join(pc_dir, f"{i}.npy"))
+                kp, desc = indoor.load_fragment_features(
+                    os.path.join(res_dir, f"{i}.bin"), args.desc_dim)
+                fragments.append((pc, kp, desc))
+            pairs = None
+            if args.overlapped_only:
+                gt = indoor.load_log(os.path.join(
+                    args.gt_root, f"{scene}-evaluation", "gt.log"))
+                pairs = [(e.i, e.j) for e in gt]
+            entries = indoor.run_scene_registration(
+                fragments, pairs=pairs, max_trials=args.max_trials)
+            log_path = os.path.join(args.out, f"{scene}.log")
+            indoor.write_log_my(log_path, entries)
+            logs[scene] = log_path
+    per_scene = indoor.evaluate_scenes(logs, args.gt_root)
+    for scene, r in per_scene.items():
+        print(json.dumps({"scene": scene, **r._asdict()}))
+    print(json.dumps(indoor.summarize(per_scene)))
 
 
 def cmd_bench(args):
@@ -262,6 +313,12 @@ def main(argv=None):
     p.add_argument("--oxford-root", default=None,
                    help="oxford dataroot (reads test groundtruths.pkl)")
     p.add_argument("--inlier-radius", type=float, default=0.5)
+    p.add_argument("--coord-fix", default="none",
+                   choices=["none", "kitti", "oxford"],
+                   help="convert exported camera-frame keypoints into the GT "
+                        "frame (eval_rep.m:48,70-83)")
+    p.add_argument("--calib-root", default=None,
+                   help="kitti calib tree <root>/<seq:02d>/calib.txt")
     p.set_defaults(fn=cmd_eval_repeatability)
 
     p = sub.add_parser("eval-registration")
@@ -275,7 +332,33 @@ def main(argv=None):
     p.add_argument("--max-trials", type=int, default=10000)
     p.add_argument("--sweep-trials", default=None,
                    help="comma list of RANSAC budgets (automation_kitti.m sweep)")
+    p.add_argument("--coord-fix", default="none",
+                   choices=["none", "kitti", "oxford"],
+                   help="convert exported camera-frame keypoints into the GT "
+                        "frame (eval_rep.m:48,70-83)")
+    p.add_argument("--calib-root", default=None,
+                   help="kitti calib tree <root>/<seq:02d>/calib.txt")
     p.set_defaults(fn=cmd_eval_registration)
+
+    p = sub.add_parser("eval-indoor")
+    p.add_argument("--gt-root", required=True,
+                   help="dir with <scene>-evaluation/gt.log+gt.info")
+    p.add_argument("--scenes", default="livingroom1,livingroom2,office1,office2")
+    p.add_argument("--pc-root", help="fragment npy tree <root>/<scene>/<i>.npy")
+    p.add_argument("--result-root",
+                   help="keypoint+descriptor bins <root>/<scene>/<i>.bin")
+    p.add_argument("--out", default="indoor_logs",
+                   help="where to write <scene>.log result logs")
+    p.add_argument("--desc-dim", type=int, default=128)
+    p.add_argument("--max-trials", type=int, default=1000,
+                   help="RANSAC cap (lite protocol, fullEvaluation.m:5)")
+    p.add_argument("--overlapped-only", action="store_true",
+                   help="register only gt-overlapped pairs (lite protocol)")
+    p.add_argument("--logs-only", action="store_true",
+                   help="skip registration; evaluate existing logs "
+                        "(Redwood loop protocol)")
+    p.add_argument("--log-dir", help="dir with <scene>.log for --logs-only")
+    p.set_defaults(fn=cmd_eval_indoor)
 
     p = sub.add_parser("bench")
     p.set_defaults(fn=cmd_bench)
