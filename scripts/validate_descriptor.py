@@ -50,8 +50,30 @@ def main():
     ap.add_argument("--pc", type=int, default=1024)
     ap.add_argument("--nodes", type=int, default=64)
     ap.add_argument("--out", default="/tmp/validate_desc")
+    ap.add_argument("--use-cgf", action="store_true",
+                    help="keypoint-level CGF triplet instead of the scan triplet")
+    ap.add_argument("--cgf-radius", type=float, default=0.2,
+                    help="CGF positive-match radius (synthetic shapes are unit "
+                         "scale; the kitti-scale default 0.075 starves matches)")
+    ap.add_argument("--rot", default="none", choices=["none", "2d", "3d"],
+                    help="rotation regime of the CGF GT transform; descriptors "
+                         "are rotation-variant by design (networks.py:372-374), "
+                         "so 3d training fights the architecture")
+    ap.add_argument("--train-size", type=int, default=256)
+    ap.add_argument("--min-ratio", type=float, default=None,
+                    help="quality gate: exit 1 unless trained >= ratio x "
+                         "untrained matching accuracy")
+    ap.add_argument("--test-yaw", action="store_true",
+                    help="rotate the partner scan by a random yaw at test time "
+                         "(the reference's LiDAR matching regime; untrained "
+                         "rotation-variant features degrade, trained rot-2d "
+                         "features should not)")
     args = ap.parse_args()
 
+    # detector trains under the full modelnet augmentation regime; the
+    # descriptor's CGF GT transform is controlled separately (--rot): the
+    # descriptor is rotation-variant by design, so its training rotation
+    # regime must match the matching regime being validated
     cfg = get_config(
         "modelnet",
         **{"data.input_pc_num": args.pc, "data.node_num": args.nodes,
@@ -59,8 +81,13 @@ def main():
            "descriptor.descriptor_len": 64, "descriptor.ball_nsamples": 32,
            "descriptor.ball_radius": 0.4, "descriptor.surface_normal_len": 3,
            "train.batch_size": 16, "train.log_every": 1000})
+    cfg_desc = cfg.with_overrides(
+        **{"loss.cgf_radius": args.cgf_radius,
+           "augment.rot_3d": args.rot == "3d",
+           "augment.rot_horizontal": args.rot == "2d",
+           "augment.gt_scale_thre": 0.0, "augment.gt_shift_thre": 0.0})
     sn_len = cfg.detector.surface_normal_len
-    train_ds = SyntheticDataset(size=256, input_pc_num=args.pc,
+    train_ds = SyntheticDataset(size=args.train_size, input_pc_num=args.pc,
                                 surface_normal_len=sn_len, seed=0)
     train = BatchLoader(train_ds, cfg.train.batch_size, num_workers=4, seed=0)
 
@@ -72,7 +99,13 @@ def main():
     det_ckpt = args.out + "/det/final.msgpack"
     save_checkpoint(det_ckpt, det_engine.state, metadata={"epoch": args.det_epochs})
 
-    desc_engine = DescriptorEngine(cfg, det_ckpt, synthetic=True,
+    from usip_tpu.train.descriptor_loop import _SyntheticPairDataset
+    desc_ds = _SyntheticPairDataset(cfg_desc, size=args.train_size, seed=0)
+    desc_loader = BatchLoader(desc_ds, cfg.train.batch_size, num_workers=4,
+                              seed=0)
+    desc_engine = DescriptorEngine(cfg_desc, det_ckpt,
+                                   train_loader=desc_loader,
+                                   use_cgf=args.use_cgf,
                                    out_dir=args.out + "/desc")
     # host snapshot: the train step donates state buffers, so keep a copy
     untrained_vars = jax.tree_util.tree_map(
@@ -101,9 +134,16 @@ def main():
         # training distribution), identity transform
         pc, sn = item["src_pc"], item["src_sn"]
         pc2, sn2 = item["dst_pc"], item["dst_sn"]
-        R = np.eye(3, dtype=np.float32)
-        pc_r = pc2
-        sn_r = sn2
+        if args.test_yaw:
+            ang = rng.uniform(0, 2 * np.pi)
+            R = np.asarray(rotation_matrix(
+                np.array([0.0, ang, 0.0], np.float32))).astype(np.float32)
+            pc_r = pc2 @ R.T
+            sn_r = np.concatenate([sn2[:, :3] @ R.T, sn2[:, 3:]], axis=1)
+        else:
+            R = np.eye(3, dtype=np.float32)
+            pc_r = pc2
+            sn_r = sn2
 
         kp_a, _ = infer(det_engine.state, jnp.asarray(pc[None]),
                         jnp.asarray(sn[None]), jax.random.PRNGKey(2 * i))
@@ -133,7 +173,15 @@ def main():
         "match_acc_random": float(np.mean(acc_random)),
         "det_epochs": args.det_epochs,
         "desc_epochs": args.desc_epochs,
+        "use_cgf": args.use_cgf,
+        "rot": args.rot,
     }))
+    if args.min_ratio is not None:
+        t, u = float(np.mean(acc_trained)), float(np.mean(acc_untrained))
+        if t < args.min_ratio * u:
+            print(f"QUALITY GATE FAILED: trained {t:.4f} < "
+                  f"{args.min_ratio} x untrained {u:.4f}")
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -68,10 +68,19 @@ def _make_loaders(cfg, args, sn_len):
         test_ds = SyntheticDataset(size=16, input_pc_num=cfg.data.input_pc_num,
                                    surface_normal_len=sn_len, seed=1)
     else:
-        from usip_tpu.data.loaders import (ParentCloudDataset,
+        from usip_tpu.data.loaders import (ConcatSiameseDataset,
+                                           ParentCloudDataset,
                                            make_detector_dataset)
         train_ds = make_detector_dataset(cfg.data.dataset, cfg.data, "train",
                                          sn_len)
+        if cfg.data.dataset == "scenenn":
+            # scenenn trains on train+val (scenenn/train_detector.py:55-60)
+            try:
+                val_ds = make_detector_dataset(cfg.data.dataset, cfg.data,
+                                               "val", sn_len)
+                train_ds = ConcatSiameseDataset([train_ds, val_ds])
+            except (FileNotFoundError, OSError):
+                pass  # no val split on disk
         test_ds = make_detector_dataset(cfg.data.dataset, cfg.data, "test",
                                         sn_len)
         if cfg.data.device_sampling:

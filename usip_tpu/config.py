@@ -134,6 +134,15 @@ class TrainConfig:
     # keep-ratio lower limit for random point dropout (1.0 disables; keypoint_detector.py:161)
     random_pc_dropout_lower_limit: float = 1.0
     seed: int = 0
+    # --- cadence: 'epoch' (most drivers) or 'samples' (match3d's step-count
+    # loop, match3d/train_detector.py:71-80,144-145,173) ---
+    cadence: str = "epoch"
+    test_every_samples: int = 10_000
+    # truncate the sample-cadence test sweep (match3d: break at >2000)
+    test_max_samples: int = 2_000
+    lr_decay_samples: int = 100_000
+    # best-loss saves only after 10x test_every_samples (match3d:161)
+    save_min_samples: int = 100_000
     # data-parallel submesh size; 1 = single chip
     num_devices: int = 1
     checkpoint_dir: str = "checkpoints"
@@ -327,7 +336,9 @@ def _match3d_preset() -> Config:
             aug_scale_low=0.8, aug_scale_high=1.2,
             gt_scale_thre=0.1, gt_shift_thre=0.5,
         ),
-        train=TrainConfig(batch_size=8, lr_decay_step=40),
+        # match3d trains by sample count, not epochs (train_detector.py:71-80)
+        train=TrainConfig(batch_size=8, lr_decay_step=40, cadence="samples",
+                          epochs=100),
     )
 
 
@@ -362,6 +373,10 @@ def get_config(dataset: str, role: str = "detector", **overrides) -> Config:
         elif dataset == "scenenn":
             cfg = cfg.with_overrides(**{"data.input_pc_num": 5000,
                                         "detector.node_knn_k": 4})
+            # indoor pipeline builds the lite-width detector
+            # (models/keypoint_detector.py:19-22 selects RPN_DetectorLite when
+            # scene=='indoor'; scenenn/options_descriptor.py:64)
+            cfg = dataclasses.replace(cfg, detector=lite_detector(cfg.detector))
     elif role != "detector":
         raise ValueError(f"unknown role {role!r}")
     # descriptor presets per dataset (options_descriptor.py files)

@@ -338,6 +338,40 @@ class Match3DDataset(SiameseDetectorDataset):
         return self.files[index]
 
 
+class ConcatSiameseDataset(SiameseDetectorDataset):
+    """Concatenation of same-type siamese datasets (scenenn trains on
+    train+val, scenenn/train_detector.py:55-60). Delegates loading to the
+    child owning each index, so the native batch fast path keeps working."""
+
+    def __init__(self, children: Sequence[SiameseDetectorDataset]):
+        assert children
+        super().__init__(children[0].cfg, children[0].sn_len)
+        self.children = list(children)
+        self._cum = np.cumsum([len(c) for c in children]).tolist()
+
+    def __len__(self) -> int:
+        return self._cum[-1]
+
+    def _locate(self, index: int) -> Tuple[SiameseDetectorDataset, int]:
+        for k, c in enumerate(self._cum):
+            if index < c:
+                start = 0 if k == 0 else self._cum[k - 1]
+                return self.children[k], index - start
+        raise IndexError(index)
+
+    def sample_instance(self, rng, index, n=None):
+        child, local = self._locate(index)
+        return child.sample_instance(rng, local, n)
+
+    def item_path(self, index):
+        child, local = self._locate(index)
+        return child.item_path(local)
+
+    def post_batch(self, batch):
+        # same-type children share the post-processing (e.g. a coordinate flip)
+        return self.children[0].post_batch(batch)
+
+
 class ParentCloudDataset:
     """View over a SiameseDetectorDataset for device-side siamese sampling
     (cfg.device_sampling): each item is the parent cloud at a fixed size

@@ -15,7 +15,8 @@ from usip_tpu.data.pipeline import BatchLoader
 from usip_tpu.models import Descriptor
 from usip_tpu.parallel import make_mesh, replicate, shard_batch
 from usip_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
-from usip_tpu.train.loop import init_detector_state
+from usip_tpu.train.loop import (_fetch_metrics, init_detector_state,
+                                 prefetch_batches)
 from usip_tpu.train.state import (TrainState, lr_at_epoch, make_adam,
                                   set_learning_rate)
 from usip_tpu.train.steps import DescriptorBatch, make_descriptor_train_step
@@ -105,22 +106,39 @@ class DescriptorEngine:
                                        use_cgf=self.use_cgf, eval_only=True))
         self.logger = MetricsLogger(self.out_dir, cfg.train.name + "_desc")
         self._key = jax.random.PRNGKey(cfg.train.seed + 13)
+        # seeded fallback negatives (round-1 used bare np.random, breaking
+        # run-to-run reproducibility when no miner is supplied)
+        self._np_rng = np.random.default_rng(cfg.train.seed + 21)
+        self.best_test_loss = float("inf")
+        self.start_epoch = 0
+
+    def resume(self, path: str) -> int:
+        """Exact resume (descriptor state; the frozen detector reloads from its
+        own checkpoint at construction) — parity with DetectorEngine.resume."""
+        self.state, meta = restore_checkpoint(path, self.state)
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+        if meta and "epoch" in meta:
+            self.start_epoch = int(meta["epoch"]) + 1
+        if meta and "loss" in meta:
+            self.best_test_loss = float(meta["loss"])
+        return self.start_epoch
 
     def _device_batch(self, raw: Dict[str, np.ndarray]) -> DescriptorBatch:
         b = raw["anc_pc"].shape[0]
         if self.mine_negatives is not None:
             neg_idx = self.mine_negatives(raw)
         else:
-            # default in-batch negatives: shifted permutation
-            neg_idx = (np.arange(b) + 1 + np.random.randint(0, b - 1)) % b \
+            # default in-batch negatives: shifted permutation (seeded)
+            neg_idx = (np.arange(b) + 1 + self._np_rng.integers(0, b - 1)) % b \
                 if b > 1 else np.zeros(b, np.int64)
         batch = DescriptorBatch(
             anc_pc=raw["anc_pc"], anc_sn=raw["anc_sn"],
             pos_pc=raw["pos_pc"], pos_sn=raw["pos_sn"],
             neg_idx=np.asarray(neg_idx, np.int64))
         if self.mesh is not None:
-            batch = DescriptorBatch(*shard_batch(self.mesh, tuple(batch)))
-        return batch
+            return DescriptorBatch(*shard_batch(self.mesh, tuple(batch)))
+        return jax.device_put(batch)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
@@ -129,42 +147,62 @@ class DescriptorEngine:
         self.state = set_learning_rate(self.state, lr)
         averages = RunningAverages()
         pending = []
-        for i, raw in enumerate(self.train_loader):
-            batch = self._device_batch(raw)
+        epoch_dev = jnp.asarray(epoch)
+        for i, (batch, batch_size) in enumerate(
+                prefetch_batches(self.train_loader, self._device_batch)):
             key = jax.random.fold_in(self._key,
                                      cfg.train.seed + 1_000_000 * epoch + i)
             self.state, metrics = self.step_fn(self.state, self.det_state,
-                                               batch, key, jnp.asarray(epoch))
-            pending.append(metrics)
+                                               batch, key, epoch_dev)
+            pending.append((metrics, batch_size))
             if i % cfg.train.log_every == 0:
                 self.logger.log(int(self.state.step), epoch,
                                 {k: float(v) for k, v in metrics.items()},
                                 prefix="desc")
-        for metrics in pending:
-            averages.update({k: float(v) for k, v in metrics.items()})
+        for host_metrics, weight in _fetch_metrics(pending):
+            averages.update(host_metrics, weight=weight)
         return averages.averages()
 
     def test_epoch(self, epoch: int) -> Dict[str, float]:
         if self.test_loader is None:
             return {}
         averages = RunningAverages()
-        for i, raw in enumerate(self.test_loader):
-            batch = self._device_batch(raw)
+        pending = []
+        epoch_dev = jnp.asarray(epoch)
+        for i, (batch, batch_size) in enumerate(
+                prefetch_batches(self.test_loader, self._device_batch)):
             key = jax.random.fold_in(self._key, 10_000_000 + i)
             _, metrics = self.eval_fn(self.state, self.det_state, batch, key,
-                                      jnp.asarray(epoch))
-            averages.update({k: float(v) for k, v in metrics.items()})
+                                      epoch_dev)
+            pending.append((metrics, batch_size))
+        for host_metrics, weight in _fetch_metrics(pending):
+            averages.update(host_metrics, weight=weight)
         avg = averages.averages()
         if avg:
             self.logger.log(int(self.state.step), epoch, avg, prefix="desc_test")
         return avg
 
+    def maybe_save(self, epoch: int, metrics: Dict[str, float]) -> bool:
+        """Best-loss-gated best.msgpack (parity with DetectorEngine; the
+        reference descriptor drivers gate on best test loss,
+        oxford/train_descriptor.py test loop)."""
+        loss = metrics.get("loss", float("inf"))
+        if loss < self.best_test_loss:
+            self.best_test_loss = loss
+            save_checkpoint(os.path.join(self.out_dir, "best.msgpack"),
+                            self.state, metadata={"epoch": epoch, **metrics})
+            return True
+        return False
+
     def fit(self, epochs: Optional[int] = None):
         epochs = epochs or self.cfg.train.epochs
-        for epoch in range(epochs):
+        for epoch in range(self.start_epoch, epochs):
             avg = self.train_epoch(epoch)
             self.logger.log(int(self.state.step), epoch, avg, prefix="desc_epoch")
-            self.test_epoch(epoch)
+            test_avg = self.test_epoch(epoch)
+            # gate on test loss when a test split exists, else train loss
+            self.maybe_save(epoch, test_avg or avg)
             save_checkpoint(os.path.join(self.out_dir, "last.msgpack"),
-                            self.state, metadata={"epoch": epoch, **avg})
+                            self.state,
+                            metadata={"epoch": epoch, **(test_avg or avg)})
         return self.state

@@ -24,6 +24,45 @@ from usip_tpu.train.steps import (DetectorBatch, ParentBatch,
 from usip_tpu.utils.logging import MetricsLogger, RunningAverages, Throughput
 
 
+def prefetch_batches(loader, device_batch_fn, depth: int = 8):
+    """Yield (device_batch, host_batch_size) with transfers issued from a
+    background thread: device_put through the serving tunnel blocks its calling
+    thread ~22-40 ms per batch under load, which must not be the training
+    loop's thread (PERFORMANCE.md engine section)."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+    sentinel = object()
+    err = []
+
+    def producer():
+        try:
+            for raw in loader:
+                for key in ("pc", "src_pc", "anc_pc"):
+                    if key in raw:
+                        bsz = raw[key].shape[0]
+                        break
+                else:
+                    bsz = next(iter(raw.values())).shape[0]
+                q.put((device_batch_fn(raw), bsz))
+        except BaseException as e:  # surface loader errors in the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+    t.join()
+    if err:
+        raise err[0]
+
+
 def _fetch_metrics(pending):
     """Fetch a list of (device metric dict, weight) to host with ONE device
     round-trip total — each synchronous fetch costs a full RPC through the
@@ -114,37 +153,7 @@ class DetectorEngine:
         return jax.device_put(batch)
 
     def _prefetch(self, loader, depth: int = 8):
-        """Yield (device_batch, host_batch_size) with transfers issued from a
-        background thread: device_put through the serving tunnel blocks its
-        calling thread ~40 ms per batch, which must not be the training loop's
-        thread (measured: 0.7 s of an 18-step epoch)."""
-        import queue as queue_mod
-        import threading
-
-        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
-        sentinel = object()
-        err = []
-
-        def producer():
-            try:
-                for raw in loader:
-                    bsz = raw["pc" if "pc" in raw else "src_pc"].shape[0]
-                    q.put((self._device_batch(raw), bsz))
-            except BaseException as e:  # surface loader errors in the consumer
-                err.append(e)
-            finally:
-                q.put(sentinel)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        return prefetch_batches(loader, self._device_batch, depth)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
@@ -232,6 +241,8 @@ class DetectorEngine:
 
     def fit(self, epochs: Optional[int] = None,
             chamfer_gate: Optional[float] = None, min_epoch: int = 0):
+        if self.cfg.train.cadence == "samples":
+            return self.fit_samples(epochs)
         epochs = epochs or self.cfg.train.epochs
         for epoch in range(self.start_epoch, epochs):
             train_avg = self.train_epoch(epoch)
@@ -243,4 +254,83 @@ class DetectorEngine:
                     epoch % self.cfg.train.save_every_epochs == 0:
                 save_checkpoint(os.path.join(self.out_dir, "last.msgpack"),
                                 self.state, metadata={"epoch": epoch, **test_avg})
+        return self.state
+
+    def test_sweep_truncated(self, epoch: int, max_samples: int) -> Dict[str, float]:
+        """Sample-cadence test sweep, truncated like match3d's 'break at >2000
+        tested samples' (train_detector.py:144-145)."""
+        if self.test_loader is None:
+            return {}
+        averages = RunningAverages()
+        pending = []
+        tested = 0
+        for i, (batch, batch_size) in enumerate(self._prefetch(self.test_loader)):
+            metrics = self.eval_step(self.state, batch,
+                                     jax.random.fold_in(self._key, 20_000_000 + i))
+            pending.append((metrics, batch_size))
+            tested += batch_size
+            if tested > max_samples:
+                break
+        for host_metrics, weight in _fetch_metrics(pending):
+            averages.update(host_metrics, weight=weight)
+        avg = averages.averages()
+        if avg:
+            self.logger.log(int(self.state.step), epoch, avg, prefix="test")
+        return avg
+
+    def fit_samples(self, epochs: Optional[int] = None):
+        """Sample-count cadence (match3d/train_detector.py:71-80,144-173):
+        test sweep every test_every_samples (truncated), LR x ratio every
+        lr_decay_samples, best-loss saves only past save_min_samples."""
+        tcfg = self.cfg.train
+        epochs = epochs or tcfg.epochs
+        total = 0
+        next_test = tcfg.test_every_samples
+        next_lr = tcfg.lr_decay_samples
+        lr = tcfg.lr
+        epoch_dev_cache: Dict[int, jnp.ndarray] = {}
+        for epoch in range(self.start_epoch, epochs):
+            epoch_dev = epoch_dev_cache.setdefault(epoch, jnp.asarray(epoch))
+            pending = []
+            averages = RunningAverages()
+            for i, (batch, batch_size) in enumerate(
+                    self._prefetch(self.train_loader)):
+                step_key = jax.random.fold_in(
+                    self._key, tcfg.seed + 1_000_000 * epoch + i)
+                self.state, metrics = self.train_step(self.state, batch,
+                                                      step_key, epoch_dev)
+                pending.append((metrics, batch_size))
+                total += batch_size
+                if i % tcfg.log_every == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    host["lr"] = lr
+                    host["total_samples"] = float(total)
+                    self.logger.log(int(self.state.step), epoch, host,
+                                    prefix="train")
+                if total >= next_test:
+                    next_test += tcfg.test_every_samples
+                    test_avg = self.test_sweep_truncated(
+                        epoch, tcfg.test_max_samples)
+                    if test_avg:
+                        # match3d:152-163: track best loss; save when at/near
+                        # best AND past the warmup sample budget
+                        loss = test_avg.get("loss", float("inf"))
+                        self.best_test_loss = min(self.best_test_loss, loss)
+                        if (loss <= self.best_test_loss + 1e-5
+                                and total > tcfg.save_min_samples):
+                            save_checkpoint(
+                                os.path.join(self.out_dir, "best.msgpack"),
+                                self.state,
+                                metadata={"epoch": epoch,
+                                          "total_samples": total, **test_avg})
+                if total >= next_lr:
+                    next_lr += tcfg.lr_decay_samples
+                    lr = max(lr * tcfg.lr_decay_ratio, tcfg.lr_clip)
+                    self.state = set_learning_rate(self.state, lr)
+            for host_metrics, weight in _fetch_metrics(pending):
+                averages.update(host_metrics, weight=weight)
+            self.logger.log(int(self.state.step), epoch, averages.averages(),
+                            prefix="train_epoch")
+        save_checkpoint(os.path.join(self.out_dir, "last.msgpack"),
+                        self.state, metadata={"epoch": epochs - 1})
         return self.state

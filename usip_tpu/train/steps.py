@@ -368,7 +368,13 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
                     gamma=cfg.loss.triple_loss_gamma,
                     sigma_max=cfg.loss.sigma_max)
             total = jnp.mean(loss_bm)
-            metrics = {"loss": total, "active_percentage": jnp.mean(active)}
+            # sigma stats like the reference's per-test prints
+            # (match3d/train_detector.py:113-118, oxford/train_descriptor.py)
+            metrics = {"loss": total, "active_percentage": jnp.mean(active),
+                       "sigma_mean": jnp.mean(anc_sig),
+                       "sigma_std": jnp.std(anc_sig),
+                       "sigma_min": jnp.min(anc_sig),
+                       "sigma_max": jnp.max(anc_sig)}
             return total, (new_stats, metrics)
 
         if eval_only:
