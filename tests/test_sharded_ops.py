@@ -200,3 +200,42 @@ def test_sharded_train_2d_mesh(rng):
         losses_seq.append(float(metrics["loss"]))
     assert np.isfinite(losses_seq).all()
     assert losses_seq[-1] < losses_seq[0]
+
+
+def test_sharded_trunk_rejects_unsupported_configs(mesh, rng):
+    """The sharded trunk is som/k=1 only and must say so loudly instead of
+    silently computing the wrong thing (round-1 VERDICT weak #7)."""
+    import pytest
+
+    from usip_tpu.config import get_config
+    from usip_tpu.parallel.sharded_train import sharded_trunk_apply
+
+    base = {"data.input_pc_num": 64, "data.node_num": 8,
+            "detector.c1": 8, "detector.c2": 16, "detector.node_knn_k": 2}
+    pc = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
+    sn = jnp.zeros((2, 64, 3), jnp.float32)
+    node = jnp.asarray(rng.normal(size=(2, 8, 3)), jnp.float32)
+
+    cfg_knn = get_config("modelnet", **dict(base, **{"detector.grouping": "knn"}))
+    with pytest.raises(NotImplementedError, match="som"):
+        sharded_trunk_apply(mesh, cfg_knn, {}, pc, sn, node, False, 0.1)
+
+    cfg_k3 = get_config("modelnet", **dict(base, **{"detector.k": 3}))
+    with pytest.raises(NotImplementedError, match="k=1"):
+        sharded_trunk_apply(mesh, cfg_k3, {}, pc, sn, node, False, 0.1)
+
+
+def test_initialize_distributed_single_process_is_explicit_noop(caplog,
+                                                                monkeypatch):
+    """No coordination env -> explicit logged no-op, not a swallowed exception
+    (round-1 VERDICT weak #6)."""
+    import logging as pylogging
+
+    from usip_tpu.parallel.mesh import initialize_distributed
+
+    for marker in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                   "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(marker, raising=False)
+    with caplog.at_level(pylogging.INFO, logger="usip_tpu.parallel.mesh"):
+        initialize_distributed()
+    assert any("staying single-process" in r.message for r in caplog.records)

@@ -478,3 +478,25 @@ def test_concat_siamese_dataset(tmp_path):
     batch = ds.get_batch([0, 3])
     if batch is not None:
         assert batch["src_pc"].shape == (2, 64, 3)
+
+
+def test_engine_snapshot_visuals(tmp_path):
+    """snapshot_visuals writes the keypoint-scene .npz (and PNG when matplotlib
+    is present) — the visdom display_current_results analog wired into the
+    engine (keypoint_detector.py:259-334)."""
+    from usip_tpu.data.pipeline import BatchLoader
+    from usip_tpu.train.loop import DetectorEngine
+
+    cfg = _tiny_config().with_overrides(
+        **{"train.checkpoint_dir": str(tmp_path), "train.vis_every_epochs": 1})
+    ds = SyntheticDataset(size=8, input_pc_num=cfg.data.input_pc_num,
+                          surface_normal_len=3, seed=3)
+    loader = BatchLoader(ds, cfg.train.batch_size, num_workers=1, seed=0)
+    engine = DetectorEngine(cfg, loader, None, out_dir=str(tmp_path / "v"))
+    path = engine.snapshot_visuals(0)
+    assert path is not None and os.path.exists(path)
+    payload = np.load(path)
+    assert payload["pc"].shape == (cfg.data.input_pc_num, 3)
+    assert payload["nodes"].shape == (cfg.data.node_num, 3)
+    assert payload["keypoints"].shape[1] == 3
+    assert payload["sigmas"].shape[0] == payload["keypoints"].shape[0]

@@ -149,6 +149,10 @@ class TrainConfig:
     name: str = "train"
     log_every: int = 20
     save_every_epochs: int = 1
+    # keypoint-scene visuals every N epochs (0 = off): .npz scatter payload +
+    # PNG render, the visdom display_current_results analog
+    # (keypoint_detector.py:259-334)
+    vis_every_epochs: int = 0
 
 
 @dataclass(frozen=True)

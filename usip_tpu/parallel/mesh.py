@@ -35,12 +35,23 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     No-op when args are None and the environment (TPU pod runtime) provides
     coordination automatically.
     """
+    import logging
+    import os
+
     import jax
     if coordinator_address is None and num_processes is None:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass  # single-process environment
+        # Auto-detection mode: only attempt when the environment actually
+        # advertises a multi-process coordination service. Attempting a bare
+        # initialize() on a plain single-process box raises (by design); a
+        # silent swallow would also hide real misconfigurations on pods.
+        env_markers = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                       "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
+        if not any(os.environ.get(m) for m in env_markers):
+            logging.getLogger(__name__).info(
+                "initialize_distributed: no coordination environment detected "
+                "(%s unset); staying single-process", "/".join(env_markers))
+            return
+        jax.distributed.initialize()
     else:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,

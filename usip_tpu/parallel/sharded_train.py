@@ -42,6 +42,16 @@ def sharded_trunk_apply(mesh: Mesh, cfg: Config, variables, pc: Array,
     """SOM trunk with pc/sn sharded on N. Returns ((anchors, node features),
     new first/second pointnet batch_stats)."""
     dcfg = cfg.detector
+    if dcfg.grouping != "som":
+        raise NotImplementedError(
+            "sharded_trunk_apply implements the som trunk only (point->node "
+            f"argmin + scatter-max); got grouping={dcfg.grouping!r}. Use the "
+            "unsharded Detector for knn/ball variants.")
+    if dcfg.k != 1:
+        raise NotImplementedError(
+            "sharded_trunk_apply hardcodes k=1 nearest-node assignment; got "
+            f"detector.k={dcfg.k}. The released configs all use k=1 "
+            "(SURVEY §5.6); the k=3 averaging path is unsharded-only.")
     m = node.shape[1]
     c1 = dcfg.c1
     dt = _dtype_of(dcfg)

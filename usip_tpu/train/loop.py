@@ -123,6 +123,7 @@ class DetectorEngine:
         # training on garbage
         self.max_nonfinite = 5
         self._nonfinite_streak = 0
+        self._infer = None  # lazily-jitted keypoint infer for snapshot_visuals
 
     def resume(self, path: str) -> int:
         """Exact resume from a full-state checkpoint (the capability the
@@ -239,6 +240,45 @@ class DetectorEngine:
             return True
         return False
 
+    def snapshot_visuals(self, epoch: int) -> Optional[str]:
+        """Keypoint-scene snapshot during training — the visdom
+        display_current_results analog (keypoint_detector.py:259-334): dump
+        cloud/nodes/keypoints/sigmas of one test (or train) cloud as .npz and,
+        when matplotlib is present, a PNG render."""
+        loader = self.test_loader or self.train_loader
+        try:
+            raw = next(iter(loader))
+        except StopIteration:
+            return None
+        pc_np = raw["pc"] if "pc" in raw else raw["src_pc"]
+        sn_np = raw["sn"] if "sn" in raw else raw["src_sn"]
+        pc = jnp.asarray(pc_np[:1], jnp.float32)
+        sn = jnp.asarray(sn_np[:1], jnp.float32)
+        if pc.shape[1] > self.cfg.data.input_pc_num:  # parent-cloud wire mode
+            sel = np.random.default_rng(epoch).choice(
+                pc.shape[1], self.cfg.data.input_pc_num, replace=False)
+            pc, sn = pc[:, sel], sn[:, sel]
+        if self._infer is None:
+            from usip_tpu.train.steps import make_detector_infer
+            self._infer = jax.jit(make_detector_infer(self.cfg, self.model))
+        from usip_tpu.ops.sampling import sample_nodes
+        key = jax.random.fold_in(self._key, 30_000_000 + epoch)
+        nodes = sample_nodes(key, pc, self.cfg.data.node_num,
+                             self.cfg.data.fps_subsample_ratio)
+        kp, sig = self._infer(self.state, pc, sn, key)
+        arrays = {"pc": np.asarray(pc[0]), "nodes": np.asarray(nodes[0]),
+                  "keypoints": np.asarray(kp[0]), "sigmas": np.asarray(sig[0])}
+        path = self.logger.snapshot_clouds("scene", int(self.state.step),
+                                           **arrays)
+        try:
+            from usip_tpu.utils.vis import save_keypoint_scene
+            save_keypoint_scene(path.replace(".npz", ".png"), arrays["pc"],
+                                arrays["nodes"], arrays["keypoints"],
+                                arrays["sigmas"])
+        except ImportError:
+            pass  # matplotlib not installed: .npz payload is still written
+        return path
+
     def fit(self, epochs: Optional[int] = None,
             chamfer_gate: Optional[float] = None, min_epoch: int = 0):
         if self.cfg.train.cadence == "samples":
@@ -250,6 +290,9 @@ class DetectorEngine:
                             prefix="train_epoch")
             test_avg = self.test_epoch(epoch)
             self.maybe_save(epoch, test_avg, chamfer_gate, min_epoch)
+            if self.cfg.train.vis_every_epochs and \
+                    epoch % self.cfg.train.vis_every_epochs == 0:
+                self.snapshot_visuals(epoch)
             if self.cfg.train.save_every_epochs and \
                     epoch % self.cfg.train.save_every_epochs == 0:
                 save_checkpoint(os.path.join(self.out_dir, "last.msgpack"),
