@@ -48,7 +48,8 @@ def main():
     @jax.jit
     def detect(pc, sn, key):
         node = sample_nodes(key, pc, cfg.data.node_num,
-                            cfg.data.fps_subsample_ratio)
+                            cfg.data.fps_subsample_ratio,
+                            parallel=cfg.data.fps_parallel)
         _, kp, sig = model.apply(variables, pc, sn, node, train=False)
         return kp, sig
 

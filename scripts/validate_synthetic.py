@@ -35,11 +35,15 @@ def main():
     ap.add_argument("--keypoints", type=int, default=32)
     ap.add_argument("--radius", type=float, default=0.25)
     ap.add_argument("--out", default="/tmp/validate_synth")
+    ap.add_argument("--fps-parallel", type=int, default=1,
+                    help="bucketed-FPS factor for node sampling (A/B the "
+                         "multi-point FPS lever, PERFORMANCE.md)")
     args = ap.parse_args()
 
     cfg = get_config(
         "modelnet",
         **{"data.input_pc_num": args.pc, "data.node_num": args.nodes,
+           "data.fps_parallel": args.fps_parallel,
            "detector.c1": 64, "detector.c2": 128, "detector.node_knn_k": 8,
            "train.batch_size": 16, "train.log_every": 50})
     sn_len = cfg.detector.surface_normal_len
@@ -95,6 +99,7 @@ def main():
         "epochs": args.epochs,
         "inlier_radius": args.radius,
         "keypoints": args.keypoints,
+        "fps_parallel": args.fps_parallel,
     }))
 
 

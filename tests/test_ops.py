@@ -315,3 +315,51 @@ def test_nearest_neighbor_coincident_gradient(rng):
     g = jax.grad(lambda s: jnp.sum(nearest_neighbor(s, dst)[0]))(src)
     assert np.isfinite(np.asarray(g)).all()
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+
+
+def test_fps_parallel_properties(rng):
+    """Bucketed FPS (parallel=t): valid distinct indices per bucket, full
+    coverage quality within a modest factor of exact FPS (PERFORMANCE.md
+    multi-point lever)."""
+    pts = rng.normal(size=(2, 256, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    samples, idxs = ops.farthest_point_sampling(key, jnp.asarray(pts), 32,
+                                                parallel=4)
+    assert samples.shape == (2, 32, 3) and idxs.shape == (2, 32)
+    idxs = np.asarray(idxs)
+    for bb in range(2):
+        assert len(set(idxs[bb].tolist())) == 32  # buckets are disjoint rows
+        assert idxs[bb].min() >= 0 and idxs[bb].max() < 256
+        # each chunk of 8 picks lives in its own row-bucket of 64
+        for c in range(4):
+            chunk = idxs[bb, c * 8:(c + 1) * 8]
+            assert (chunk >= c * 64).all() and (chunk < (c + 1) * 64).all()
+    np.testing.assert_allclose(np.asarray(samples),
+                               pts[np.arange(2)[:, None], idxs])
+
+    def cov(nodes, cloud):
+        d = np.linalg.norm(cloud[:, None] - nodes[None], axis=-1)
+        return d.min(1).mean()
+
+    exact, _ = ops.farthest_point_sampling(key, jnp.asarray(pts), 32)
+    for bb in range(2):
+        c_par = cov(np.asarray(samples)[bb], pts[bb])
+        c_exact = cov(np.asarray(exact)[bb], pts[bb])
+        assert c_par <= c_exact * 1.35, (c_par, c_exact)
+
+
+def test_fps_parallel_requires_divisibility(rng):
+    pts = jnp.asarray(rng.normal(size=(1, 100, 3)).astype(np.float32))
+    with pytest.raises(ValueError, match="divide"):
+        ops.farthest_point_sampling(jax.random.PRNGKey(0), pts, 16, parallel=3)
+
+
+def test_sample_nodes_parallel_fallback_and_shape(rng):
+    pts = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+    nodes = ops.sample_nodes(jax.random.PRNGKey(1), pts, 32,
+                             subsample_ratio=4, parallel=4)
+    assert nodes.shape == (2, 32, 3)
+    # non-divisible factor falls back to exact FPS instead of raising
+    nodes_fb = ops.sample_nodes(jax.random.PRNGKey(1), pts, 30,
+                                subsample_ratio=4, parallel=4)
+    assert nodes_fb.shape == (2, 30, 3)

@@ -261,7 +261,8 @@ def cmd_eval_indoor(args):
                     args.gt_root, f"{scene}-evaluation", "gt.log"))
                 pairs = [(e.i, e.j) for e in gt]
             entries = indoor.run_scene_registration(
-                fragments, pairs=pairs, max_trials=args.max_trials)
+                fragments, pairs=pairs, max_trials=args.max_trials,
+                estimator=args.estimator)
             log_path = os.path.join(args.out, f"{scene}.log")
             indoor.write_log_my(log_path, entries)
             logs[scene] = log_path
@@ -359,6 +360,9 @@ def main(argv=None):
     p.add_argument("--out", default="indoor_logs",
                    help="where to write <scene>.log result logs")
     p.add_argument("--desc-dim", type=int, default=128)
+    p.add_argument("--estimator", default="ransac", choices=["ransac", "fgr"],
+                   help="pose estimator: RANSAC (register2Fragments.m) or "
+                        "Fast Global Registration (register2FragmentsFGR.m)")
     p.add_argument("--max-trials", type=int, default=1000,
                    help="RANSAC cap (lite protocol, fullEvaluation.m:5)")
     p.add_argument("--overlapped-only", action="store_true",

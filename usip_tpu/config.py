@@ -163,6 +163,9 @@ class DataConfig:
     node_num: int = 512
     # FPS node sampling runs over a random 1/fps_subsample_ratio subset of the cloud
     fps_subsample_ratio: int = 4
+    # bucketed-FPS factor (ops/sampling.py): t independent FPS instances over
+    # random row-buckets — sequential depth/iteration work both /t. 1 = exact.
+    fps_parallel: int = 1
     num_workers: int = 8
     # kitti: optional radius crop
     crop_radius: Optional[float] = None

@@ -201,24 +201,38 @@ def register_fragments(pc1: np.ndarray, pc2: np.ndarray,
                        inlier_threshold: float = 0.2,
                        max_trials: int = 1000,
                        overlap_radius: float = 0.2,
-                       knn_k: int = 5, seed: int = 0) -> FragmentRegistration:
+                       knn_k: int = 5, seed: int = 0,
+                       estimator: str = "ransac") -> FragmentRegistration:
     """Register fragment 2 onto fragment 1 (register2Fragments.m).
 
     'Lite' protocol: RANSAC capped at max_trials=1000 (fullEvaluation.m:5).
+    ``estimator='fgr'`` swaps in Fast Global Registration — the reference's
+    alternative estimator (register2FragmentsFGR.m:34, mex rebuilt natively in
+    eval/fgr.py) — with inliers counted over mutual matches post-hoc.
     """
     matches = knn_union_matches(desc1, desc2, k=knn_k)
     x1 = kp1[matches[:, 0]]
     x2 = kp2[matches[:, 1]]
-    res = ransac_rigid(x1, x2, threshold=inlier_threshold,
-                       max_trials=max_trials, seed=seed)
-    if res.R is None:
-        trans = np.eye(4)
-        inliers = np.empty(0, np.int64)
+    if estimator == "fgr":
+        from usip_tpu.eval.fgr import fast_global_registration
+        trans, _ = fast_global_registration(
+            kp2, desc2, kp1, desc1, rng=np.random.default_rng(seed))
+        x2_t = x2 @ trans[:3, :3].T + trans[:3, 3]
+        inliers = np.flatnonzero(
+            np.linalg.norm(x2_t - x1, axis=1) < inlier_threshold)
+    elif estimator == "ransac":
+        res = ransac_rigid(x1, x2, threshold=inlier_threshold,
+                           max_trials=max_trials, seed=seed)
+        if res.R is None:
+            trans = np.eye(4)
+            inliers = np.empty(0, np.int64)
+        else:
+            trans = np.eye(4)
+            trans[:3, :3] = res.R
+            trans[:3, 3] = res.t
+            inliers = res.inliers
     else:
-        trans = np.eye(4)
-        trans[:3, :3] = res.R
-        trans[:3, 3] = res.t
-        inliers = res.inliers
+        raise ValueError(f"unknown estimator {estimator!r} (ransac|fgr)")
     info = information_matrix(kp1[matches[inliers, 0]]) if inliers.size \
         else np.zeros((6, 6))
     # surface overlap of the aligned clouds, both directions
@@ -253,7 +267,8 @@ def run_scene_registration(fragments: Sequence[Tuple[np.ndarray, np.ndarray,
                            align_gate: float = 0.23,
                            inlier_gate: float = 0.025,
                            max_trials: int = 1000,
-                           seed: int = 0) -> List[LogEntry]:
+                           seed: int = 0,
+                           estimator: str = "ransac") -> List[LogEntry]:
     """Register fragment pairs of one scene and gate them into a result log.
 
     Args:
@@ -271,7 +286,8 @@ def run_scene_registration(fragments: Sequence[Tuple[np.ndarray, np.ndarray,
         pc1, kp1, d1 = fragments[i]
         pc2, kp2, d2 = fragments[j]
         reg = register_fragments(pc1, pc2, kp1, d1, kp2, d2,
-                                 max_trials=max_trials, seed=seed + idx)
+                                 max_trials=max_trials, seed=seed + idx,
+                                 estimator=estimator)
         if reg.ratio_aligned[0] > align_gate and reg.inlier_ratio > inlier_gate:
             entries.append(LogEntry(i, j, n, reg.trans, reg.num_inliers,
                                     reg.inlier_ratio, reg.information))

@@ -43,10 +43,31 @@ def _fps_single(points: Array, k: int, first: Array) -> Tuple[Array, Array]:
     return points[idxs], idxs
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def farthest_point_sampling(key: Array, points: Array, k: int) -> Tuple[Array, Array]:
-    """Batched FPS. points ``(B, N, 3)`` -> samples ``(B, k, 3)``, indices ``(B, k)``."""
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def farthest_point_sampling(key: Array, points: Array, k: int,
+                            parallel: int = 1) -> Tuple[Array, Array]:
+    """Batched FPS. points ``(B, N, 3)`` -> samples ``(B, k, 3)``, indices ``(B, k)``.
+
+    ``parallel=t>1`` runs t independent FPS instances over t row-buckets of the
+    cloud and concatenates their picks: sequential depth k/t, per-iteration
+    work N/t — the multi-point-per-iteration lever for the latency-bound FPS
+    loop (PERFORMANCE.md). Buckets are contiguous row ranges, so rows MUST be
+    in random order for the approximation to hold (``sample_nodes`` guarantees
+    this via its random-subset step; quality A/B in PERFORMANCE.md).
+    """
     b, n, _ = points.shape
+    if parallel > 1:
+        if n % parallel or k % parallel:
+            raise ValueError(f"parallel={parallel} must divide N={n} and k={k}")
+        nc, kc = n // parallel, k // parallel
+        chunks = points.reshape(b * parallel, nc, 3)
+        first = jax.random.randint(key, (b * parallel,), 0, nc)
+        samples, idxs = jax.vmap(_fps_single, in_axes=(0, None, 0))(
+            chunks, kc, first)
+        offs = ((jnp.arange(b * parallel, dtype=jnp.int32) % parallel)
+                * nc)[:, None]
+        return (samples.reshape(b, k, 3),
+                (idxs + offs).reshape(b, k))
     first = jax.random.randint(key, (b,), 0, n)
     return jax.vmap(_fps_single, in_axes=(0, None, 0))(points, k, first)
 
@@ -65,15 +86,22 @@ def random_subset(key: Array, points: Array, k: int, replace: bool = False) -> A
 
 
 def sample_nodes(key: Array, points: Array, node_num: int,
-                 subsample_ratio: int = 4) -> Array:
+                 subsample_ratio: int = 4, parallel: int = 1) -> Array:
     """Node initialization: FPS over a random 1/subsample_ratio subset of the cloud.
 
     Mirrors the loaders' recipe (modelnet_shrec_loader.py:176-178,
     oxford_detector_loader.py:195-200): subsample then FPS to ``node_num``.
+
+    ``parallel``: bucketed-FPS factor (see ``farthest_point_sampling``). The
+    random subset rows are in random order, so contiguous bucketing is a valid
+    random partition. Falls back to exact FPS when the factor doesn't divide
+    the shapes.
     """
     k1, k2 = jax.random.split(key)
     n = points.shape[1]
     sub = max(node_num, n // subsample_ratio)
     subset = random_subset(k1, points, sub, replace=False)
-    nodes, _ = farthest_point_sampling(k2, subset, node_num)
+    if parallel > 1 and (sub % parallel or node_num % parallel):
+        parallel = 1
+    nodes, _ = farthest_point_sampling(k2, subset, node_num, parallel)
     return nodes

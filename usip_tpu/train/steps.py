@@ -130,9 +130,11 @@ def _prepare_detector_inputs(key: Array, batch: DetectorBatch, cfg: Config,
             k_height, [src_pc, dst_pc], aug.height_scale_low,
             aug.height_scale_high, axis=1)
     src_node = sample_nodes(k_node_s, src_pc, cfg.data.node_num,
-                            cfg.data.fps_subsample_ratio)
+                            cfg.data.fps_subsample_ratio,
+                            parallel=cfg.data.fps_parallel)
     dst_node = sample_nodes(k_node_d, dst_pc, cfg.data.node_num,
-                            cfg.data.fps_subsample_ratio)
+                            cfg.data.fps_subsample_ratio,
+                            parallel=cfg.data.fps_parallel)
     if train:
         packs = augment.shared_augment(
             k_shared, [(src_pc, src_sn, src_node), (dst_pc, dst_sn, dst_node)],
@@ -259,7 +261,8 @@ def make_detector_infer(cfg: Config, model: Detector):
 
     def infer(state: TrainState, pc: Array, sn: Array, key: Array):
         node = sample_nodes(key, pc, cfg.data.node_num,
-                            cfg.data.fps_subsample_ratio)
+                            cfg.data.fps_subsample_ratio,
+                            parallel=cfg.data.fps_parallel)
         _, kp, sig = model.apply(state.variables, pc, sn, node, train=False)
         return kp, sig
 
@@ -305,7 +308,8 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
             # indoor: pos copy gets a GT transform; anchor keypoints are aligned
             # into the pos frame for the CGF loss
             anc_node = sample_nodes(k_node_a, anc_pc, cfg.data.node_num,
-                                    cfg.data.fps_subsample_ratio)
+                                    cfg.data.fps_subsample_ratio,
+                            parallel=cfg.data.fps_parallel)
             pos_pc, pos_sn, _, gt = augment.random_se3(
                 k_se3, pos_pc, pos_sn,
                 jnp.zeros((pos_pc.shape[0], 1, 3), pos_pc.dtype),
@@ -313,12 +317,15 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
                 shift_thre=aug.gt_shift_thre,
                 rot_perturbation=aug.rot_perturbation)
             pos_node = sample_nodes(k_node_p, pos_pc, cfg.data.node_num,
-                                    cfg.data.fps_subsample_ratio)
+                                    cfg.data.fps_subsample_ratio,
+                            parallel=cfg.data.fps_parallel)
         else:
             anc_node = sample_nodes(k_node_a, anc_pc, cfg.data.node_num,
-                                    cfg.data.fps_subsample_ratio)
+                                    cfg.data.fps_subsample_ratio,
+                            parallel=cfg.data.fps_parallel)
             pos_node = sample_nodes(k_node_p, pos_pc, cfg.data.node_num,
-                                    cfg.data.fps_subsample_ratio)
+                                    cfg.data.fps_subsample_ratio,
+                            parallel=cfg.data.fps_parallel)
 
         # frozen detector inference (run_model_siamese, no grad)
         det_vars = jax.lax.stop_gradient(det_state.variables)
