@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 
 from usip_tpu.eval.baselines import (baseline_keypoints, harris3d_keypoints,
-                                     iss_keypoints, random_keypoints)
+                                     iss_keypoints, random_keypoints,
+                                     sift3d_keypoints)
 
 
 def _box_cloud(rng, per_face=400, jitter=0.0):
@@ -61,7 +62,42 @@ def test_dispatch(rng):
     pc = rng.normal(size=(50, 3))
     kp = baseline_keypoints("random", pc, rng, num=5)
     assert kp.shape == (5, 3)
-    with pytest.raises(NotImplementedError):
-        baseline_keypoints("sift", pc)
     with pytest.raises(KeyError):
         baseline_keypoints("nope", pc)
+
+
+def _bump_plane(rng, n=900, bump_center=(0.0, 0.0), bump_h=0.5,
+                bump_sigma=0.15):
+    """Flat z=0 grid with one Gaussian bump: a single blob-scale z feature."""
+    g = int(np.sqrt(n))
+    xs, ys = np.meshgrid(np.linspace(-1, 1, g), np.linspace(-1, 1, g))
+    pc = np.stack([xs.ravel(), ys.ravel(), np.zeros(g * g)], axis=1)
+    d2 = (pc[:, 0] - bump_center[0]) ** 2 + (pc[:, 1] - bump_center[1]) ** 2
+    pc[:, 2] = bump_h * np.exp(-d2 / (2 * bump_sigma ** 2))
+    return pc + rng.normal(scale=1e-4, size=pc.shape)
+
+
+def test_sift3d_fires_on_bump_not_plane(rng):
+    pc = _bump_plane(rng)
+    kp = sift3d_keypoints(pc, min_scale=0.08, n_octaves=2,
+                          n_scales_per_octave=4, min_contrast=0.01)
+    assert kp.shape[0] > 0
+    # keypoints concentrate at the bump (blob center), not the flat field
+    d_bump = np.linalg.norm(kp[:, :2], axis=1)
+    assert (d_bump < 0.4).mean() > 0.6
+    # a flat plane yields nothing above the contrast threshold
+    flat = _bump_plane(rng, bump_h=0.0)
+    kp_flat = sift3d_keypoints(flat, min_scale=0.08, n_octaves=2,
+                               n_scales_per_octave=4, min_contrast=0.01)
+    assert kp_flat.shape[0] == 0
+
+
+def test_sift3d_max_keypoints_and_dispatch(rng):
+    pc = _bump_plane(rng)
+    kp = sift3d_keypoints(pc, min_scale=0.08, n_octaves=2,
+                          n_scales_per_octave=4, min_contrast=0.01,
+                          max_keypoints=3)
+    assert kp.shape[0] <= 3
+    kd = baseline_keypoints("sift", pc, min_scale=0.08, n_octaves=1,
+                            n_scales_per_octave=3, min_contrast=0.01)
+    assert kd.ndim == 2 and kd.shape[1] == 3

@@ -2,10 +2,10 @@
 
 The reference exposes ISS / Harris / SIFT / random baselines through the external
 PCLKeypoint package (evaluation/save_keypoints.py:44-63,289-325); this module
-provides dependency-free Python implementations of the ones the USIP evaluation
-actually compares against: 'random' and ISS (Intrinsic Shape Signatures) and a
-Harris-3D response detector. SIFT-3D requires a scale pyramid library; it is
-intentionally not re-implemented (gate with method='sift' raising)."""
+provides dependency-free Python implementations of all four: 'random', ISS
+(Intrinsic Shape Signatures), a Harris-3D response detector, and SIFT-3D
+(PCL-style DoG scale pyramid over the z field, the SIFTKeypointFieldSelector
+<PointXYZ> convention the reference's keypointSift binding inherits)."""
 
 from __future__ import annotations
 
@@ -118,6 +118,75 @@ def harris3d_keypoints(pc: np.ndarray, radius: float = 1.0,
     return kp
 
 
+def sift3d_keypoints(pc: np.ndarray, min_scale: float = 0.5,
+                     n_octaves: int = 4, n_scales_per_octave: int = 8,
+                     min_contrast: float = 0.005,
+                     max_keypoints: Optional[int] = None) -> np.ndarray:
+    """SIFT-3D keypoints in the PCL ``SIFTKeypoint`` style that the reference
+    invokes (save_keypoints.py:318-322: min_scale, n_octaves,
+    n_scales_per_octave, min_contrast).
+
+    Scalar field = z (PCL's ``SIFTKeypointFieldSelector<PointXYZ>``). Per
+    octave o the field is Gaussian-smoothed over neighborhoods at scales
+    ``min_scale * 2^o * 2^(i/n_scales_per_octave)``; difference-of-Gaussians
+    between adjacent scales; a point is a keypoint when its DoG value is a
+    strict spatial+scale extremum over neighbors within its scale radius and
+    ``|DoG| > min_contrast``.
+    """
+    pc = np.asarray(pc, np.float64)
+    field = pc[:, 2]
+    tree = cKDTree(pc)
+    keypoints: list[np.ndarray] = []
+    responses: list[float] = []
+
+    for octave in range(n_octaves):
+        base = min_scale * (2.0 ** octave)
+        nr = n_scales_per_octave + 3
+        sigmas = [base * (2.0 ** (i / n_scales_per_octave)) for i in range(nr)]
+        smoothed = []
+        for sig in sigmas:
+            # Gaussian smoothing over the 3*sigma neighborhood
+            pairs = tree.query_ball_point(pc, r=3.0 * sig)
+            sm = np.empty(len(pc))
+            for i, nb in enumerate(pairs):
+                nb = np.asarray(nb)
+                d2 = np.sum((pc[nb] - pc[i]) ** 2, axis=1)
+                w = np.exp(-d2 / (2.0 * sig * sig))
+                sm[i] = float(np.sum(w * field[nb]) / np.sum(w))
+            smoothed.append(sm)
+        dog = [smoothed[i + 1] - smoothed[i] for i in range(nr - 1)]
+
+        for s in range(1, len(dog) - 1):
+            radius = sigmas[s]
+            nbhd = tree.query_ball_point(pc, r=radius)
+            vals = dog[s]
+            for i, nb in enumerate(nbhd):
+                v = vals[i]
+                if abs(v) < min_contrast:
+                    continue
+                nb = np.asarray(nb)
+                others = np.concatenate([
+                    dog[s][nb[nb != i]], dog[s - 1][nb], dog[s + 1][nb]])
+                if others.size == 0:
+                    continue
+                if v > others.max() or v < others.min():
+                    keypoints.append(pc[i])
+                    responses.append(abs(v))
+
+    if not keypoints:
+        return np.empty((0, 3), pc.dtype)
+    kp = np.unique(np.asarray(keypoints), axis=0)
+    if max_keypoints is not None and kp.shape[0] > max_keypoints:
+        # rank duplicates-removed keypoints by their best response
+        resp = {}
+        for p, r in zip(keypoints, responses):
+            key = tuple(p)
+            resp[key] = max(resp.get(key, 0.0), r)
+        order = np.argsort([-resp[tuple(p)] for p in kp])
+        kp = kp[order[:max_keypoints]]
+    return kp
+
+
 def baseline_keypoints(method: str, pc: np.ndarray,
                        rng: Optional[np.random.Generator] = None,
                        **kwargs) -> np.ndarray:
@@ -131,7 +200,5 @@ def baseline_keypoints(method: str, pc: np.ndarray,
     if method == "harris":
         return harris3d_keypoints(pc, **kwargs)
     if method == "sift":
-        raise NotImplementedError(
-            "SIFT-3D baseline requires a scale-pyramid implementation; use the "
-            "reference's PCLKeypoint export if SIFT numbers are needed")
+        return sift3d_keypoints(pc, **kwargs)
     raise KeyError(f"unknown baseline method {method!r}")
