@@ -272,6 +272,34 @@ def cmd_eval_indoor(args):
     print(json.dumps(indoor.summarize(per_scene)))
 
 
+def cmd_import_torch(args):
+    """Convert a reference PyTorch checkpoint (<epoch>_net_detector.pth /
+    _net_descriptor.pth, keypoint_detector.py:348-351) into a full-state
+    msgpack checkpoint loadable by the engines/eval tools."""
+    import torch
+
+    from usip_tpu.train.checkpoint import save_checkpoint
+    from usip_tpu.train.state import make_adam, TrainState
+    from usip_tpu.train.torch_import import (convert_descriptor_state_dict,
+                                             convert_detector_state_dict)
+
+    cfg = _build_config(args, role=args.role)
+    sd = torch.load(args.pth, map_location="cpu", weights_only=True)
+    if args.role == "detector":
+        from usip_tpu.train.loop import init_detector_state
+        _, state = init_detector_state(cfg, cfg.train.seed)
+        variables = convert_detector_state_dict(sd, state.variables)
+    else:
+        from usip_tpu.train.descriptor_loop import init_descriptor_state
+        _, state = init_descriptor_state(cfg, cfg.train.seed)
+        variables = convert_descriptor_state_dict(sd, state.variables)
+    new_state = TrainState.create(variables, make_adam(cfg.train.lr))
+    save_checkpoint(args.out, new_state,
+                    metadata={"imported_from": args.pth, "role": args.role})
+    print(f"imported {args.pth} -> {args.out} ({args.role}, "
+          f"dataset={cfg.data.dataset})")
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -372,6 +400,15 @@ def main(argv=None):
                         "(Redwood loop protocol)")
     p.add_argument("--log-dir", help="dir with <scene>.log for --logs-only")
     p.set_defaults(fn=cmd_eval_indoor)
+
+    p = sub.add_parser("import-torch", help="convert a reference .pth "
+                       "state_dict into a framework checkpoint")
+    p.add_argument("--pth", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--role", default="detector",
+                   choices=["detector", "descriptor"])
+    _add_common(p)
+    p.set_defaults(fn=cmd_import_torch)
 
     p = sub.add_parser("bench")
     p.set_defaults(fn=cmd_bench)
