@@ -265,7 +265,7 @@ class DetectorEngine:
         key = jax.random.fold_in(self._key, 30_000_000 + epoch)
         nodes = sample_nodes(key, pc, self.cfg.data.node_num,
                              self.cfg.data.fps_subsample_ratio,
-                            parallel=cfg.data.fps_parallel)
+                             parallel=self.cfg.data.fps_parallel)
         kp, sig = self._infer(self.state, pc, sn, key)
         arrays = {"pc": np.asarray(pc[0]), "nodes": np.asarray(nodes[0]),
                   "keypoints": np.asarray(kp[0]), "sigmas": np.asarray(sig[0])}
