@@ -107,3 +107,20 @@ def test_cli_import_torch_pth(tmp_path):
     restored, meta = restore_checkpoint(str(out), fresh)
     assert meta["role"] == "detector"
     _assert_tree_equal(state.variables["params"], restored.variables["params"])
+
+
+def test_descriptor_global_roundtrip():
+    """DescriptorLiteOldGlobal (fc1..fc3 fusion stack) auto-detected from the
+    checkpoint keys (networks.py:388-479)."""
+    cfg = DescriptorConfig(descriptor_len=16, surface_normal_len=3,
+                           compute_dtype="float32", use_global_context=True)
+    model = Descriptor(cfg)
+    args = (jnp.zeros((2, 64, 3)), jnp.zeros((2, 64, 3)), jnp.zeros((2, 8, 3)))
+    v = model.init(jax.random.PRNGKey(0), *args, train=False)
+    sd = export_descriptor_state_dict(v)
+    assert sd["fc1.conv.weight"].shape == (32, 32, 1)  # Conv1d, not 2d
+    assert "fc3.norm.weight" not in sd  # fc3: activation/normalization None
+    v2 = convert_descriptor_state_dict(
+        sd, model.init(jax.random.PRNGKey(1), *args, train=False))
+    _assert_tree_equal(v["params"], v2["params"])
+    _assert_tree_equal(v["batch_stats"], v2["batch_stats"])

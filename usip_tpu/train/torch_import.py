@@ -92,6 +92,12 @@ _DETECTOR_LAYOUT: Tuple[Tuple[str, str, str], ...] = (
 _DESCRIPTOR_LAYOUT: Tuple[Tuple[str, str, str], ...] = tuple(
     (f"conv{i}", f"conv{i}", "") for i in range(1, 6))
 
+# DescriptorLiteOldGlobal (networks.py:388-479) adds the PPFNet-style global
+# fusion stack fc1..fc3 on top of the lite conv trunk — same names our global
+# descriptor uses.
+_DESCRIPTOR_GLOBAL_LAYOUT: Tuple[Tuple[str, str, str], ...] = (
+    _DESCRIPTOR_LAYOUT + tuple((f"fc{i}", f"fc{i}", "") for i in range(1, 4)))
+
 
 def _convert(state_dict: Mapping[str, Any], variables: Mapping[str, Any],
              layout: Tuple[Tuple[str, str, str], ...]) -> Dict[str, Any]:
@@ -159,8 +165,13 @@ def convert_detector_state_dict(state_dict: Mapping[str, Any],
 def convert_descriptor_state_dict(state_dict: Mapping[str, Any],
                                   variables: Mapping[str, Any]
                                   ) -> Dict[str, Any]:
-    """Reference DescriptorLiteOld state_dict -> our Descriptor variables."""
-    return _convert(state_dict, variables, _DESCRIPTOR_LAYOUT)
+    """Reference DescriptorLiteOld(/Global) state_dict -> our Descriptor
+    variables. The global-context fusion stack (fc1..fc3) is detected from the
+    checkpoint keys."""
+    sd = strip_data_parallel(state_dict)
+    layout = _DESCRIPTOR_GLOBAL_LAYOUT if "fc1.conv.weight" in sd \
+        else _DESCRIPTOR_LAYOUT
+    return _convert(sd, variables, layout)
 
 
 def export_detector_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
@@ -170,7 +181,9 @@ def export_detector_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.nda
 
 
 def export_descriptor_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
-    return _export(variables, _DESCRIPTOR_LAYOUT)
+    layout = _DESCRIPTOR_GLOBAL_LAYOUT if "fc1" in variables["params"] \
+        else _DESCRIPTOR_LAYOUT
+    return _export(variables, layout)
 
 
 def _export(variables, layout) -> Dict[str, np.ndarray]:
