@@ -244,3 +244,45 @@ def test_repeatability_frame_invariance(tmp_path):
                                       coord_fix=fix)
     assert mean_native == pytest.approx(0.5, abs=0.01)
     assert mean_fixed == pytest.approx(mean_native, abs=1e-6)
+
+
+def test_run_export_data_parallel_matches_single(tmp_path):
+    """Mesh-sharded export (--num-devices) writes the same keypoints as the
+    single-device path — the nn.DataParallel run_model analog, including the
+    ragged-tail padding (16 frames, batch 3, 2 devices -> pad)."""
+    cfg = _tiny_cfg().with_overrides(**{"train.batch_size": 3})
+    _, state = init_detector_state(cfg, 0)
+    ckpt = str(tmp_path / "det.msgpack")
+    save_checkpoint(ckpt, state)
+
+    out1 = str(tmp_path / "kp1")
+    stats1 = run_export(cfg, ckpt, out1, desired_num=8, synthetic=True)
+    cfg2 = cfg.with_overrides(**{"train.num_devices": 2})
+    out2 = str(tmp_path / "kp2")
+    stats2 = run_export(cfg2, ckpt, out2, desired_num=8, synthetic=True)
+
+    # BatchLoader drops the ragged tail (16 -> 15 at batch 3) in BOTH modes;
+    # each batch of 3 is padded to 4 for the 2-device mesh and trimmed back
+    assert stats1["frames"] == stats2["frames"] == 15
+    for f in os.listdir(os.path.join(out1, "00")):
+        a = np.fromfile(os.path.join(out1, "00", f), np.float32)
+        b = np.fromfile(os.path.join(out2, "00", f), np.float32)
+        np.testing.assert_allclose(a, b, atol=1e-4, err_msg=f)
+
+
+def test_run_export_with_descriptors_data_parallel(tmp_path):
+    cfg = _tiny_cfg().with_overrides(**{"train.batch_size": 3,
+                                        "train.num_devices": 2})
+    _, det_state = init_detector_state(cfg, 0)
+    det_ckpt = str(tmp_path / "det.msgpack")
+    save_checkpoint(det_ckpt, det_state)
+    _, desc_state = init_descriptor_state(cfg, 1)
+    desc_ckpt = str(tmp_path / "desc.msgpack")
+    save_checkpoint(desc_ckpt, desc_state)
+    stats = run_export_with_descriptors(
+        cfg, det_ckpt, desc_ckpt, str(tmp_path / "kp"), str(tmp_path / "desc"),
+        desired_num=8, synthetic=True)
+    assert stats["frames"] == 15
+    d = np.fromfile(os.path.join(str(tmp_path / "desc"), "00", "0.bin"),
+                    np.float32).reshape(8, -1)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-2)

@@ -327,7 +327,7 @@ def main(argv=None):
     p.add_argument("--nms-radius", type=float, default=0.0)
     p.add_argument("--num-keypoints", type=int, default=128)
     p.add_argument("--method", default="model",
-                   choices=["model", "random", "iss", "harris"],
+                   choices=["model", "random", "iss", "harris", "sift"],
                    help="trained detector or a classical baseline "
                         "(save_keypoints.py method switch)")
     p.add_argument("--noise-sigma", type=float, default=0.0)

@@ -58,6 +58,22 @@ def make_eval_dataset(cfg: Config, synthetic: bool = False, seed: int = 0):
     raise KeyError(name)
 
 
+def _place_batch(mesh, num_devices: int, *arrays):
+    """Place host arrays for inference. Under a data mesh the batch axis is
+    sharded across devices (the reference's nn.DataParallel run_model analog,
+    keypoint_detector.py:34-37) — ragged tail batches are padded by repeating
+    the last row, and the true batch size is returned for trimming."""
+    real_b = arrays[0].shape[0]
+    if mesh is None:
+        return tuple(jnp.asarray(a) for a in arrays) + (real_b,)
+    from usip_tpu.parallel import shard_batch
+    pad = (-real_b) % num_devices
+    if pad:
+        arrays = tuple(
+            np.concatenate([a, np.repeat(a[-1:], pad, axis=0)]) for a in arrays)
+    return tuple(shard_batch(mesh, np.asarray(a)) for a in arrays) + (real_b,)
+
+
 def run_export_with_descriptors(cfg: Config, detector_checkpoint: str,
                                 descriptor_checkpoint: str, kp_out: str,
                                 desc_out: str, nms_radius: float = 0.0,
@@ -73,12 +89,19 @@ def run_export_with_descriptors(cfg: Config, detector_checkpoint: str,
     """
     from usip_tpu.train.descriptor_loop import init_descriptor_state
 
+    from usip_tpu.parallel import make_mesh, replicate
+
+    mesh = make_mesh(cfg.train.num_devices) \
+        if cfg.train.num_devices > 1 else None
     model, state = init_detector_state(cfg, cfg.train.seed)
     state, _ = restore_checkpoint(detector_checkpoint, state)
     infer = jax.jit(make_detector_infer(cfg, model))
 
     desc_model, desc_state = init_descriptor_state(cfg, cfg.train.seed)
     desc_state, _ = restore_checkpoint(descriptor_checkpoint, desc_state)
+    if mesh is not None:
+        state = replicate(mesh, state)
+        desc_state = replicate(mesh, desc_state)
 
     @jax.jit
     def describe(pc, sn, kp, key):
@@ -92,19 +115,20 @@ def run_export_with_descriptors(cfg: Config, detector_checkpoint: str,
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(321)
     frames = 0
+    nd = cfg.train.num_devices
     for i, raw in enumerate(loader):
-        kp, sig = infer(state, jnp.asarray(raw["pc"]), jnp.asarray(raw["sn"]),
-                        jax.random.fold_in(key, 2 * i))
-        kp, sig = np.asarray(kp), np.asarray(sig)
+        pc_in, sn_in, real_b = _place_batch(mesh, nd, raw["pc"], raw["sn"])
+        kp, sig = infer(state, pc_in, sn_in, jax.random.fold_in(key, 2 * i))
+        kp, sig = np.asarray(kp)[:real_b], np.asarray(sig)[:real_b]
         selected = np.stack([
             select_keypoints(kp[b], sig[b], raw["pc"][b],
                              nms_radius=nms_radius, desired_num=desired_num,
                              rng=rng)
             for b in range(kp.shape[0])])
-        desc = describe(jnp.asarray(raw["pc"]), jnp.asarray(raw["sn"]),
-                        jnp.asarray(selected),
-                        jax.random.fold_in(key, 2 * i + 1))
-        desc = np.asarray(desc)
+        pc_in, sn_in, kp_in, real_b = _place_batch(mesh, nd, raw["pc"],
+                                                   raw["sn"], selected)
+        desc = describe(pc_in, sn_in, kp_in, jax.random.fold_in(key, 2 * i + 1))
+        desc = np.asarray(desc)[:real_b]
         for b in range(selected.shape[0]):
             seq, frame = int(raw["seq"][b]), int(raw["frame"][b])
             write_keypoints_bin(
@@ -127,10 +151,16 @@ def run_export(cfg: Config, checkpoint: Optional[str], out_dir: str,
     gaussian noise to the input cloud (the export tool's robustness knob,
     save_keypoints.py:34).
     """
+    from usip_tpu.parallel import make_mesh, replicate
+
+    mesh = make_mesh(cfg.train.num_devices) \
+        if cfg.train.num_devices > 1 else None
     infer = None
     if method == "model":
         model, state = init_detector_state(cfg, cfg.train.seed)
         state, _ = restore_checkpoint(checkpoint, state)
+        if mesh is not None:
+            state = replicate(mesh, state)
         infer = jax.jit(make_detector_infer(cfg, model))
 
     ds = dataset if dataset is not None else make_eval_dataset(cfg, synthetic)
@@ -148,9 +178,10 @@ def run_export(cfg: Config, checkpoint: Optional[str], out_dir: str,
             pc_batch = pc_batch + rng.normal(
                 scale=noise_sigma, size=pc_batch.shape).astype(pc_batch.dtype)
         if method == "model":
-            kp, sig = infer(state, jnp.asarray(pc_batch),
-                            jnp.asarray(raw["sn"]), jax.random.fold_in(key, i))
-            kp, sig = np.asarray(kp), np.asarray(sig)
+            pc_in, sn_in, real_b = _place_batch(mesh, cfg.train.num_devices,
+                                                pc_batch, raw["sn"])
+            kp, sig = infer(state, pc_in, sn_in, jax.random.fold_in(key, i))
+            kp, sig = np.asarray(kp)[:real_b], np.asarray(sig)[:real_b]
         if i == 0:
             t_start = time.perf_counter()  # exclude compile
         for b in range(pc_batch.shape[0]):
