@@ -363,3 +363,41 @@ def test_sample_nodes_parallel_fallback_and_shape(rng):
     nodes_fb = ops.sample_nodes(jax.random.PRNGKey(1), pts, 30,
                                 subsample_ratio=4, parallel=4)
     assert nodes_fb.shape == (2, 30, 3)
+
+
+def test_ball_query_approx_contract(rng):
+    """approx_min_k backend: in-ball-only indices, correct cyclic padding, and
+    near-complete recall of the ball population at small fill (the sampling-
+    distribution argument for the 7.6x descriptor speedup, PERFORMANCE.md)."""
+    pts = jnp.asarray(rng.normal(size=(2, 512, 3)).astype(np.float32))
+    centers = pts[:, :16]
+    res = ops.ball_query(pts, centers, 0.7, 8, key=jax.random.PRNGKey(0),
+                         method="approx")
+    assert res.idx.shape == (2, 16, 8)
+    d = np.linalg.norm(np.asarray(pts)[np.arange(2)[:, None, None],
+                                       np.asarray(res.idx)]
+                       - np.asarray(centers)[:, :, None], axis=-1)
+    valid = np.asarray(res.valid)
+    assert (d[valid] <= 0.7 + 1e-5).all()
+    # center point is always in its own ball -> no ball is empty
+    assert (np.asarray(res.counts) >= 1).all()
+    # padded slots replicate real in-ball points (cyclic padding contract)
+    assert (d <= 0.7 + 1e-5).all()
+
+
+def test_ball_query_auto_matches_exact_distribution(rng):
+    """'auto' stays exact for natural-order priorities; with random priorities
+    exact and approx draw in-ball subsets of comparable size."""
+    pts = jnp.asarray(rng.normal(size=(1, 8192, 3)).astype(np.float32))
+    centers = pts[:, :8]
+    exact = ops.ball_query(pts, centers, 0.5, 16, key=jax.random.PRNGKey(1),
+                           method="exact")
+    approx = ops.ball_query(pts, centers, 0.5, 16, key=jax.random.PRNGKey(1),
+                            method="approx")
+    ce, ca = np.asarray(exact.counts), np.asarray(approx.counts)
+    assert (np.abs(ce.astype(int) - ca.astype(int)) <= 2).all(), (ce, ca)
+    # natural-order auto == exact bit-for-bit
+    nat_auto = ops.ball_query(pts, centers, 0.5, 16, key=None, method="auto")
+    nat_exact = ops.ball_query(pts, centers, 0.5, 16, key=None, method="exact")
+    np.testing.assert_array_equal(np.asarray(nat_auto.idx),
+                                  np.asarray(nat_exact.idx))

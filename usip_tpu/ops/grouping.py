@@ -94,7 +94,8 @@ class BallQueryResult(NamedTuple):
 
 
 def ball_query(points: Array, centers: Array, radius: float, k: int,
-               key: Array | None = None) -> BallQueryResult:
+               key: Array | None = None,
+               method: str = "auto") -> BallQueryResult:
     """Random-priority masked top-k ball query.
 
     Args:
@@ -104,6 +105,17 @@ def ball_query(points: Array, centers: Array, radius: float, k: int,
       k: samples per ball.
       key: PRNG key for the per-point priorities. ``None`` -> natural point order
         (deterministic; equivalent to the reference with an identity permutation).
+      method: ``'exact'`` (lax.top_k), ``'approx'`` (lax.approx_min_k — the
+        TPU-optimized bucketed partial reduction, ~7.6x faster at KITTI scale:
+        59.3 -> 7.8 ms for (8, 512, 16384) K=64, PERFORMANCE.md), or ``'auto'``
+        (approx when priorities are random AND the cloud is large enough for it
+        to pay; exact otherwise). With *iid random* priorities the approx
+        reduction still returns a uniform-style random in-ball subset — which
+        in-ball points win is a symmetric function of their iid priorities —
+        so the descriptor's sampling distribution is preserved; with
+        *natural-order* priorities (key=None) approx would deterministically
+        skew the reference's "first K in scan order" semantics, so auto keeps
+        exact there.
 
     The reference permutes the cloud once then takes the first K in-ball points per
     center; with per-point random priorities shared across centers this is the exact
@@ -111,6 +123,10 @@ def ball_query(points: Array, centers: Array, radius: float, k: int,
     """
     b, n, _ = points.shape
     m = centers.shape[1]
+    if method not in ("auto", "exact", "approx"):
+        raise ValueError(f"unknown ball_query method {method!r}")
+    use_approx = method == "approx" or (
+        method == "auto" and key is not None and n >= 4096)
     sq = pairwise_sqdist(centers, points)  # (B, M, N)
     in_ball = sq <= radius * radius
     if key is None:
@@ -119,8 +135,12 @@ def ball_query(points: Array, centers: Array, radius: float, k: int,
     else:
         priority = jax.random.uniform(key, (b, n), dtype=jnp.float32)
     scores = jnp.where(in_ball, priority[:, None, :], jnp.inf)  # (B, M, N)
-    neg_top, idx = jax.lax.top_k(-scores, k)  # lowest priority first
-    found = jnp.isfinite(-neg_top)  # (B, M, K)
+    if use_approx:
+        vals, idx = jax.lax.approx_min_k(scores, k)  # ascending, infs last
+        found = jnp.isfinite(vals)  # (B, M, K)
+    else:
+        neg_top, idx = jax.lax.top_k(-scores, k)  # lowest priority first
+        found = jnp.isfinite(-neg_top)  # (B, M, K)
     counts = jnp.sum(found, axis=-1).astype(jnp.int32)  # (B, M)
     # cyclic padding: slot j >= count reuses idx[j % count]; empty ball -> index 0
     slot = jnp.arange(k, dtype=jnp.int32)[None, None, :]

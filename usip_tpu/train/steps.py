@@ -14,6 +14,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from usip_tpu import losses
 from usip_tpu.config import Config
@@ -218,6 +219,9 @@ def make_detector_train_step(cfg: Config, model: Detector):
 
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        # global gradient norm — the diagnose_network analog (util/util.py:43-53),
+        # on-device so it rides the normal epoch-end metric fetch
+        metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads, new_stats)
         return new_state, metrics
 
@@ -389,6 +393,7 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
             return desc_state, metrics
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(desc_state.params)
+        metrics["grad_norm"] = optax.global_norm(grads)
         new_state = desc_state.apply_gradients(grads, new_stats)
         return new_state, metrics
 
