@@ -76,3 +76,48 @@ def test_cli_descriptor_roundtrip(tmp_path, capsys):
     d = np.fromfile(os.path.join(out_dir, "descriptors", "00", "0.bin"),
                     np.float32)
     assert d.size == 8 * 16
+
+
+def test_cli_detect_arbitrary_clouds(tmp_path, capsys):
+    """detect: serve keypoints (+descriptors) for loose .npy clouds — no
+    dataset layout, variable input sizes."""
+    from usip_tpu.config import get_config
+    from usip_tpu.train.checkpoint import save_checkpoint
+    from usip_tpu.train.descriptor_loop import init_descriptor_state
+    from usip_tpu.train.loop import init_detector_state
+
+    cfg = get_config("modelnet", **{
+        "data.input_pc_num": 128, "data.node_num": 16,
+        "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4,
+        "descriptor.descriptor_len": 16, "descriptor.ball_nsamples": 8,
+        "descriptor.ball_radius": 0.6, "descriptor.surface_normal_len": 3})
+    _, det = init_detector_state(cfg, 0)
+    det_ckpt = str(tmp_path / "det.msgpack")
+    save_checkpoint(det_ckpt, det)
+    _, desc = init_descriptor_state(cfg, 1)
+    desc_ckpt = str(tmp_path / "desc.msgpack")
+    save_checkpoint(desc_ckpt, desc)
+
+    clouds = tmp_path / "clouds"
+    clouds.mkdir()
+    rng = np.random.default_rng(0)
+    for i, n in enumerate((96, 128, 200)):  # smaller, exact, larger than fixed
+        np.save(clouds / f"c{i}.npy",
+                rng.normal(size=(n, 3)).astype(np.float32))
+
+    out = tmp_path / "served"
+    capsys.readouterr()
+    cli.main(["detect", "--dataset", "modelnet", "--input", str(clouds),
+              "--checkpoint", det_ckpt, "--descriptor-checkpoint", desc_ckpt,
+              "--out", str(out), "--num-keypoints", "8"] + TINY)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["clouds"] == 3
+    for i in range(3):
+        kp = np.fromfile(out / f"c{i}.keypoints.bin", np.float32)
+        assert kp.size == 8 * 3
+        d = np.fromfile(out / f"c{i}.desc.bin", np.float32).reshape(8, -1)
+        assert d.shape[1] == 16
+        # rows are L2-normalized; empty-ball keypoints legitimately yield 0
+        norms = np.linalg.norm(d, axis=1)
+        assert ((np.abs(norms - 1.0) < 1e-2) | (norms < 1e-6)).all()
+        assert (np.abs(norms - 1.0) < 1e-2).sum() >= 6

@@ -272,6 +272,43 @@ def cmd_eval_indoor(args):
     print(json.dumps(indoor.summarize(per_scene)))
 
 
+def cmd_detect(args):
+    """Serve keypoints (+descriptors) for arbitrary cloud files — no dataset
+    layout required: each input .npy holds one (N, 3) or (N, 3+S) cloud."""
+    import glob as globmod
+
+    import numpy as np
+
+    from usip_tpu.inference import KeypointPipeline
+
+    cfg = _build_config(args)
+    pipe = KeypointPipeline(cfg, args.checkpoint,
+                            descriptor_checkpoint=args.descriptor_checkpoint)
+    paths = sorted(globmod.glob(os.path.join(args.input, "*.npy"))
+                   if os.path.isdir(args.input) else globmod.glob(args.input))
+    if not paths:
+        raise SystemExit(f"no .npy clouds match {args.input}")
+    os.makedirs(args.out, exist_ok=True)
+    s = cfg.detector.surface_normal_len
+    for path in paths:
+        data = np.load(path)
+        pc, sn = data[:, :3], (data[:, 3:3 + s] if data.shape[1] > 3 else None)
+        name = os.path.splitext(os.path.basename(path))[0]
+        if args.descriptor_checkpoint:
+            kp, desc = pipe.detect_and_describe(
+                pc, sn, num_keypoints=args.num_keypoints,
+                nms_radius=args.nms_radius)
+            desc.astype(np.float32).tofile(
+                os.path.join(args.out, f"{name}.desc.bin"))
+        else:
+            kp, _ = pipe.detect(pc, sn, num_keypoints=args.num_keypoints,
+                                nms_radius=args.nms_radius)
+        kp.astype(np.float32).tofile(
+            os.path.join(args.out, f"{name}.keypoints.bin"))
+        print(f"{name}: {kp.shape[0]} keypoints", flush=True)
+    print(json.dumps({"clouds": len(paths), "out": args.out}))
+
+
 def cmd_import_torch(args):
     """Convert a reference PyTorch checkpoint (<epoch>_net_detector.pth /
     _net_descriptor.pth, keypoint_detector.py:348-351) into a full-state
@@ -400,6 +437,18 @@ def main(argv=None):
                         "(Redwood loop protocol)")
     p.add_argument("--log-dir", help="dir with <scene>.log for --logs-only")
     p.set_defaults(fn=cmd_eval_indoor)
+
+    p = sub.add_parser("detect", help="keypoints (+descriptors) for arbitrary "
+                       ".npy cloud files, no dataset layout needed")
+    _add_common(p)
+    p.add_argument("--input", required=True,
+                   help="directory of .npy clouds, or a glob")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--descriptor-checkpoint", default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-keypoints", type=int, default=128)
+    p.add_argument("--nms-radius", type=float, default=0.0)
+    p.set_defaults(fn=cmd_detect)
 
     p = sub.add_parser("import-torch", help="convert a reference .pth "
                        "state_dict into a framework checkpoint")
