@@ -82,7 +82,9 @@ class SyntheticDataset:
         return pc, sn
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        rng = np.random.default_rng(hash((idx, "item")) % (2 ** 32))
+        # NB: not Python hash() — string hashing is salted per process
+        # (PYTHONHASHSEED), which made "deterministic" tests vary across runs.
+        rng = np.random.default_rng(np.random.SeedSequence([idx, 0x5EED]))
         src_pc, src_sn = self._sample(rng, idx)
         dst_pc, dst_sn = self._sample(rng, idx)
         return {"src_pc": src_pc, "src_sn": src_sn,
