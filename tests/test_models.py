@@ -128,3 +128,24 @@ def test_detector_gradients_flow(rng):
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     nonzero = sum(float(jnp.sum(jnp.abs(g))) > 0 for g in leaves)
     assert nonzero > len(leaves) * 0.8
+
+
+@pytest.mark.parametrize("grouping", ["knn", "ball"])
+def test_detector_group_method_approx(rng, grouping):
+    """group_method='approx' (the LiDAR-scale opt-in, config.py) runs the
+    knn/ball trunks end to end and produces keypoints statistically close to
+    the exact selection (same weights, same inputs)."""
+    pc, sn, node = _inputs(rng)
+    out = {}
+    for method in ("exact", "approx"):
+        cfg = DetectorConfig(grouping=grouping, c1=32, c2=64, node_knn_k=4,
+                             group_k=8, surface_normal_len=S,
+                             group_method=method, group_radius=1.0)
+        model = Detector(cfg)
+        variables = model.init(jax.random.PRNGKey(0), pc, sn, node, train=False)
+        _, kp, sg = model.apply(variables, pc, sn, node, train=False)
+        assert np.isfinite(np.asarray(kp)).all()
+        out[method] = np.asarray(kp)
+    # same-init keypoints from approx neighbors stay near the exact ones
+    med = np.median(np.linalg.norm(out["exact"] - out["approx"], axis=-1))
+    assert med < 0.5, med

@@ -401,3 +401,23 @@ def test_ball_query_auto_matches_exact_distribution(rng):
     nat_exact = ops.ball_query(pts, centers, 0.5, 16, key=None, method="exact")
     np.testing.assert_array_equal(np.asarray(nat_auto.idx),
                                   np.asarray(nat_exact.idx))
+
+
+def test_knn_approx_contract(rng):
+    """knn(method='approx'): valid indices, ascending distances, and high
+    neighbor recall vs exact top-k (the opt-in knn-trunk speedup,
+    detector.group_method)."""
+    q = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
+    db = jnp.asarray(rng.normal(size=(2, 4096, 3)).astype(np.float32))
+    d_e, idx_e = ops.knn(q, db, 16)
+    d_a, idx_a = ops.knn(q, db, 16, method="approx")
+    assert idx_a.shape == (2, 32, 16)
+    da = np.asarray(d_a)
+    assert (np.diff(da, axis=-1) >= -1e-6).all()  # ascending
+    # recall of the true 16-NN set
+    recall = np.mean([
+        len(set(np.asarray(idx_a)[b, i]) & set(np.asarray(idx_e)[b, i])) / 16
+        for b in range(2) for i in range(32)])
+    assert recall >= 0.85, recall
+    with pytest.raises(ValueError):
+        ops.knn(q, db, 16, method="bogus")

@@ -183,11 +183,14 @@ class Detector(nn.Module):
         cfg = self.cfg
         x_aug = jnp.concatenate([pc, sn], axis=-1) if cfg.surface_normal_len else pc
         if cfg.grouping == "knn":
-            _, idx = knn(node, pc, cfg.group_k)                     # (B, M, K)
+            _, idx = knn(node, pc, cfg.group_k,
+                         method=cfg.group_method)                   # (B, M, K)
         else:
             # the ball detector scans points in natural order (no permutation,
-            # unlike the descriptor) — key=None reproduces that
-            idx = ball_query(pc, node, cfg.group_radius, cfg.group_k, key=None).idx
+            # unlike the descriptor) — key=None reproduces that;
+            # group_method='approx' opts into the bucketed selection instead
+            idx = ball_query(pc, node, cfg.group_radius, cfg.group_k, key=None,
+                             method=cfg.group_method).idx
         g = gather_points(x_aug, idx)                               # (B, M, K, C0)
         g_xyz = g[..., 0:3] - node[:, :, None, :]
         g = jnp.concatenate([g_xyz, g[..., 3:]], axis=-1)
