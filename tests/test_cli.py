@@ -121,3 +121,32 @@ def test_cli_detect_arbitrary_clouds(tmp_path, capsys):
         norms = np.linalg.norm(d, axis=1)
         assert ((np.abs(norms - 1.0) < 1e-2) | (norms < 1e-6)).all()
         assert (np.abs(norms - 1.0) < 1e-2).sum() >= 6
+
+
+def test_cli_detect_render_gallery(tmp_path, capsys):
+    """detect --render --html: keypoint-scene PNGs + index.html gallery (the
+    working replacement of the reference's broken oxford/test.py viewer)."""
+    from usip_tpu.config import get_config
+    from usip_tpu.train.checkpoint import save_checkpoint
+    from usip_tpu.train.loop import init_detector_state
+
+    cfg = get_config("modelnet", **{
+        "data.input_pc_num": 128, "data.node_num": 16,
+        "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4})
+    _, det = init_detector_state(cfg, 0)
+    det_ckpt = str(tmp_path / "det.msgpack")
+    save_checkpoint(det_ckpt, det)
+
+    clouds = tmp_path / "clouds"
+    clouds.mkdir()
+    rng = np.random.default_rng(1)
+    np.save(clouds / "a.npy", rng.normal(size=(128, 3)).astype(np.float32))
+
+    out = tmp_path / "viz"
+    capsys.readouterr()
+    cli.main(["detect", "--dataset", "modelnet", "--input", str(clouds),
+              "--checkpoint", det_ckpt, "--out", str(out),
+              "--num-keypoints", "8", "--render", "--html"] + TINY)
+    assert (out / "a.png").stat().st_size > 1000
+    html = (out / "index.html").read_text()
+    assert "a.png" in html

@@ -289,6 +289,10 @@ def cmd_detect(args):
     if not paths:
         raise SystemExit(f"no .npy clouds match {args.input}")
     os.makedirs(args.out, exist_ok=True)
+    gallery = None
+    if getattr(args, "html", False):
+        from usip_tpu.utils.html import HTMLGallery
+        gallery = HTMLGallery(args.out, title="usip_tpu detections")
     s = cfg.detector.surface_normal_len
     for path in paths:
         data = np.load(path)
@@ -298,14 +302,27 @@ def cmd_detect(args):
             kp, desc = pipe.detect_and_describe(
                 pc, sn, num_keypoints=args.num_keypoints,
                 nms_radius=args.nms_radius)
+            sig = None
             desc.astype(np.float32).tofile(
                 os.path.join(args.out, f"{name}.desc.bin"))
         else:
-            kp, _ = pipe.detect(pc, sn, num_keypoints=args.num_keypoints,
-                                nms_radius=args.nms_radius)
+            kp, sig = pipe.detect(pc, sn, num_keypoints=args.num_keypoints,
+                                  nms_radius=args.nms_radius)
         kp.astype(np.float32).tofile(
             os.path.join(args.out, f"{name}.keypoints.bin"))
+        if getattr(args, "render", False) or gallery is not None:
+            # the working replacement of the reference's broken matplotlib
+            # keypoint viewer (oxford/test.py:6,17 stale imports) and of the
+            # visdom scatter payloads (models/keypoint_detector.py:259-334)
+            from usip_tpu.utils.vis import save_keypoint_scene
+            png = os.path.join(args.out, f"{name}.png")
+            save_keypoint_scene(png, pc, None, kp, sig)
+            if gallery is not None:
+                gallery.add_section(name, [(f"{name}.png",
+                                            f"{kp.shape[0]} keypoints")])
         print(f"{name}: {kp.shape[0]} keypoints", flush=True)
+    if gallery is not None:
+        gallery.save()
     print(json.dumps({"clouds": len(paths), "out": args.out}))
 
 
@@ -448,6 +465,10 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--num-keypoints", type=int, default=128)
     p.add_argument("--nms-radius", type=float, default=0.0)
+    p.add_argument("--render", action="store_true",
+                   help="write a keypoint-scene PNG per cloud")
+    p.add_argument("--html", action="store_true",
+                   help="also build an index.html gallery of the renders")
     p.set_defaults(fn=cmd_detect)
 
     p = sub.add_parser("import-torch", help="convert a reference .pth "
