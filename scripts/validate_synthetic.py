@@ -38,14 +38,24 @@ def main():
     ap.add_argument("--fps-parallel", type=int, default=1,
                     help="bucketed-FPS factor for node sampling (A/B the "
                          "multi-point FPS lever, PERFORMANCE.md)")
+    ap.add_argument("--override", action="append", default=[],
+                    help="extra dotted config overrides (section.field=JSON), "
+                         "e.g. detector.grouping='\"knn\"' for trunk A/Bs")
     args = ap.parse_args()
 
-    cfg = get_config(
-        "modelnet",
-        **{"data.input_pc_num": args.pc, "data.node_num": args.nodes,
-           "data.fps_parallel": args.fps_parallel,
-           "detector.c1": 64, "detector.c2": 128, "detector.node_knn_k": 8,
-           "train.batch_size": 16, "train.log_every": 50})
+    overrides = {"data.input_pc_num": args.pc, "data.node_num": args.nodes,
+                 "data.fps_parallel": args.fps_parallel,
+                 "detector.c1": 64, "detector.c2": 128,
+                 "detector.node_knn_k": 8,
+                 "train.batch_size": 16, "train.log_every": 50}
+    for ov in args.override:
+        k, _, v = ov.partition("=")
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        overrides[k] = v
+    cfg = get_config("modelnet", **overrides)
     sn_len = cfg.detector.surface_normal_len
     train_ds = SyntheticDataset(size=256, input_pc_num=args.pc,
                                 surface_normal_len=sn_len, seed=0)

@@ -421,3 +421,24 @@ def test_knn_approx_contract(rng):
     assert recall >= 0.85, recall
     with pytest.raises(ValueError):
         ops.knn(q, db, 16, method="bogus")
+
+
+def test_ball_query_bf16_compute(rng):
+    """compute_dtype=bfloat16 (the descriptor default): contract holds with
+    bf16-tolerance on the radius; natural-order priorities ignore the dtype
+    (iota indices >= 256 would collide in bf16)."""
+    import jax.numpy as jnp
+    pts = jnp.asarray(rng.normal(size=(2, 512, 3)).astype(np.float32))
+    centers = pts[:, :16]
+    res = ops.ball_query(pts, centers, 0.7, 8, key=jax.random.PRNGKey(0),
+                         compute_dtype=jnp.bfloat16)
+    d = np.linalg.norm(np.asarray(pts)[np.arange(2)[:, None, None],
+                                       np.asarray(res.idx)]
+                       - np.asarray(centers)[:, :, None], axis=-1)
+    assert (d <= 0.7 * 1.01).all()  # bf16 boundary tolerance
+    assert (np.asarray(res.counts) >= 1).all()
+    nat_bf = ops.ball_query(pts, centers, 0.7, 8, key=None,
+                            compute_dtype=jnp.bfloat16)
+    nat_32 = ops.ball_query(pts, centers, 0.7, 8, key=None)
+    np.testing.assert_array_equal(np.asarray(nat_bf.idx),
+                                  np.asarray(nat_32.idx))

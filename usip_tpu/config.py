@@ -66,6 +66,11 @@ class DescriptorConfig:
     # for large clouds with random priorities (7.6x faster, distribution
     # preserved — ops/grouping.py), 'exact'/'approx' force a path
     ball_method: str = "auto"
+    # dtype of the ball query's (B, M, N) distance/score tensors — its entire
+    # HBM traffic (1.7x at KITTI scale). Honored only for random priorities;
+    # on-chip-validated uniform (ops/grouping.py). 'float32' restores exact
+    # boundary membership.
+    ball_compute_dtype: str = "bfloat16"
     surface_normal_len: int = 4
     activation: str = "relu"
     normalization: str = "batch"

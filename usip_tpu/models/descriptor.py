@@ -50,7 +50,10 @@ class Descriptor(nn.Module):
         bq = ball_query(jax.lax.stop_gradient(pc),
                         jax.lax.stop_gradient(keypoints),
                         cfg.ball_radius, cfg.ball_nsamples, key=key,
-                        method=cfg.ball_method)
+                        method=cfg.ball_method,
+                        compute_dtype=(jnp.bfloat16
+                                       if cfg.ball_compute_dtype == "bfloat16"
+                                       else None))
         g = gather_points(x_aug, bq.idx)                       # (B, M, K, 3+S)
         g_xyz = g[..., 0:3] - keypoints[:, :, None, :]
         feats = jnp.concatenate([g_xyz, g[..., 3:]], axis=-1)

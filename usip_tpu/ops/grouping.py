@@ -95,7 +95,8 @@ class BallQueryResult(NamedTuple):
 
 def ball_query(points: Array, centers: Array, radius: float, k: int,
                key: Array | None = None,
-               method: str = "auto") -> BallQueryResult:
+               method: str = "auto",
+               compute_dtype=None) -> BallQueryResult:
     """Random-priority masked top-k ball query.
 
     Args:
@@ -120,6 +121,16 @@ def ball_query(points: Array, centers: Array, radius: float, k: int,
     The reference permutes the cloud once then takes the first K in-ball points per
     center; with per-point random priorities shared across centers this is the exact
     same distribution (uniform-without-replacement ball sampling).
+
+    ``compute_dtype`` (e.g. bfloat16) sets the dtype of the (B, M, N) distance
+    and score tensors — the op's entire HBM traffic (5.6 -> 3.3 ms at KITTI
+    scale, PERFORMANCE.md). Only honored for *random* priorities: boundary
+    membership flips are distributionally harmless there, and score ties
+    resolve uniformly (validated on-chip: 1921-point ball, K=64, frequency
+    std 0.01028 vs 0.01036 binomial ideal, index-correlation 0.007 vs null
+    sigma 0.023). Natural-order priorities (key=None) always run fp32 —
+    casting the iota priorities to bf16 would collide indices >= 256 and
+    change the reference's deterministic first-K semantics.
     """
     b, n, _ = points.shape
     m = centers.shape[1]
@@ -127,14 +138,17 @@ def ball_query(points: Array, centers: Array, radius: float, k: int,
         raise ValueError(f"unknown ball_query method {method!r}")
     use_approx = method == "approx" or (
         method == "auto" and key is not None and n >= 4096)
-    sq = pairwise_sqdist(centers, points)  # (B, M, N)
-    in_ball = sq <= radius * radius
+    dt = compute_dtype if key is not None and compute_dtype is not None \
+        else jnp.float32
+    sq = pairwise_sqdist(centers, points, compute_dtype=dt)  # (B, M, N)
+    in_ball = sq <= jnp.asarray(radius * radius, sq.dtype)
     if key is None:
         priority = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.float32)[None, :], (b, n))
     else:
         priority = jax.random.uniform(key, (b, n), dtype=jnp.float32)
-    scores = jnp.where(in_ball, priority[:, None, :], jnp.inf)  # (B, M, N)
+    scores = jnp.where(in_ball, priority[:, None, :].astype(dt),
+                       jnp.asarray(jnp.inf, dt))  # (B, M, N)
     if use_approx:
         vals, idx = jax.lax.approx_min_k(scores, k)  # ascending, infs last
         found = jnp.isfinite(vals)  # (B, M, K)
