@@ -15,8 +15,11 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native")
+# repo checkout layout: <root>/native next to the package; installed copies
+# can point USIP_NATIVE_DIR at a checkout of native/ (otherwise every caller
+# falls back to the pure-python path)
+_NATIVE_DIR = os.environ.get("USIP_NATIVE_DIR") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libusip_native.so")
 
 _lib = None
