@@ -40,7 +40,6 @@ def main():
     from usip_tpu.data.loaders import KittiDataset
     from usip_tpu.data.pipeline import BatchLoader
     from usip_tpu.train.loop import DetectorEngine
-    from usip_tpu.train.steps import DetectorBatch
 
     root = tempfile.mkdtemp(prefix="bench_kitti_")
     try:

@@ -27,7 +27,7 @@ from usip_tpu.data.augment import rotation_matrix
 from usip_tpu.data.pipeline import BatchLoader
 from usip_tpu.data.synthetic import SyntheticDataset
 from usip_tpu.train.checkpoint import save_checkpoint
-from usip_tpu.train.descriptor_loop import DescriptorEngine, init_descriptor_state
+from usip_tpu.train.descriptor_loop import DescriptorEngine
 from usip_tpu.train.loop import DetectorEngine
 from usip_tpu.train.steps import make_detector_infer
 

@@ -5,7 +5,6 @@ import json
 import os
 
 import numpy as np
-import pytest
 
 from usip_tpu import cli
 

@@ -90,7 +90,6 @@ def test_rotm_quat_roundtrip(rng):
 
 
 def test_build_modelnet_rotated(tmp_path, rng):
-    import glob
     from usip_tpu.data.preprocess import build_modelnet_rotated
 
     src_files = []

@@ -39,7 +39,6 @@ class KeypointPipeline:
 
         self._describe = None
         if descriptor_checkpoint is not None:
-            from usip_tpu.models import Descriptor
             from usip_tpu.train.descriptor_loop import init_descriptor_state
             desc_model, desc_state = init_descriptor_state(cfg, cfg.train.seed)
             desc_state, _ = restore_checkpoint(descriptor_checkpoint, desc_state)
