@@ -16,14 +16,38 @@ record the assumption here.
 """
 
 import json
+import os
+import threading
 import time
 
 import numpy as np
 
 REFERENCE_CLOUDS_PER_SEC = 30.0
 
+# The serving tunnel's remote backend can wedge (observed after a libtpu
+# compile-helper SIGABRT, PERFORMANCE.md "Environment note") leaving device
+# calls blocked in C++ where no Python signal can interrupt them. A daemon
+# watchdog guarantees the driver still gets a JSON line instead of a hang.
+WATCHDOG_SECONDS = int(os.environ.get("BENCH_WATCHDOG_SECONDS", "1200"))
+
+
+def _arm_watchdog():
+    def fire():
+        print(json.dumps({
+            "metric": "kitti_16k_detection_clouds_per_sec_per_chip",
+            "value": 0.0, "unit": "clouds/sec/chip", "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {WATCHDOG_SECONDS}s "
+                     "(TPU backend unresponsive)"}), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(WATCHDOG_SECONDS, fire)
+    t.daemon = True
+    t.start()
+    return t
+
 
 def main():
+    watchdog = _arm_watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -72,6 +96,7 @@ def main():
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     clouds_per_sec = b * iters / best_dt
+    watchdog.cancel()
     print(json.dumps({
         "metric": "kitti_16k_detection_clouds_per_sec_per_chip",
         "value": round(clouds_per_sec, 2),

@@ -41,7 +41,11 @@ def main():
     ap.add_argument("--override", action="append", default=[],
                     help="extra dotted config overrides (section.field=JSON), "
                          "e.g. detector.grouping='\"knn\"' for trunk A/Bs")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                    help="force a jax platform (cpu for TPU-less runs)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     overrides = {"data.input_pc_num": args.pc, "data.node_num": args.nodes,
                  "data.fps_parallel": args.fps_parallel,
