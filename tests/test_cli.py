@@ -38,6 +38,16 @@ def test_cli_train_export_eval_roundtrip(tmp_path, capsys):
     files = os.listdir(os.path.join(kp_out, "00"))
     assert len(files) == 16
 
+    # the export tool's downsample knob (save_keypoints.py:35,116): detect on
+    # input_pc_num/rate points with the same checkpoint
+    ds_out = str(tmp_path / "kp_ds")
+    cli.main(["export-keypoints", "--dataset", "modelnet", "--synthetic",
+              "--checkpoint", best, "--out", ds_out,
+              "--num-keypoints", "8", "--batch-size", "4",
+              "--downsample-rate", "2",
+              "--checkpoints-dir", ckpt_dir] + TINY)
+    assert len(os.listdir(os.path.join(ds_out, "00"))) == 16
+
     # identity-GT repeatability of the export against itself must be 1.0
     gt_dir = str(tmp_path / "gt")
     os.makedirs(gt_dir)

@@ -157,6 +157,11 @@ def cmd_train_descriptor(args):
 
 def cmd_export_keypoints(args):
     cfg = _build_config(args)
+    if getattr(args, "downsample_rate", 1) > 1:
+        # the export tool's robustness knob: detect on 1/rate of the points
+        # (save_keypoints.py:35,116 input_pc_num /= downsample_rate)
+        cfg = cfg.with_overrides(**{
+            "data.input_pc_num": cfg.data.input_pc_num // args.downsample_rate})
     from usip_tpu.eval.export_runner import run_export
     stats = run_export(cfg, checkpoint=args.checkpoint, out_dir=args.out,
                        nms_radius=args.nms_radius,
@@ -385,6 +390,9 @@ def main(argv=None):
                    help="trained detector or a classical baseline "
                         "(save_keypoints.py method switch)")
     p.add_argument("--noise-sigma", type=float, default=0.0)
+    p.add_argument("--downsample-rate", type=int, default=1,
+                   help="detect on input_pc_num/rate points "
+                        "(save_keypoints.py downsample_rate)")
     p.set_defaults(fn=cmd_export_keypoints)
 
     p = sub.add_parser("export-descriptors")
