@@ -239,3 +239,43 @@ def test_initialize_distributed_single_process_is_explicit_noop(caplog,
     with caplog.at_level(pylogging.INFO, logger="usip_tpu.parallel.mesh"):
         initialize_distributed()
     assert any("staying single-process" in r.message for r in caplog.records)
+
+
+def test_sharded_ball_gather_matches_reference(mesh, rng):
+    """Point-sharded ball grouping (the descriptor's SP step) returns exactly
+    the unsharded random-priority selection when both consume the same
+    priority array."""
+    from usip_tpu.parallel.sharded_ops import sharded_ball_gather
+
+    b, m, n, k, r = 2, 8, 128, 6, 0.8
+    pts = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    centers = pts[:, :m]  # centers are cloud points -> no empty balls
+    feats = jnp.asarray(rng.normal(size=(b, n, 5)).astype(np.float32))
+    pri = jax.random.uniform(jax.random.PRNGKey(3), (b, n), dtype=jnp.float32)
+
+    # unsharded reference: same priorities via a monkeypatch-free route —
+    # ops.ball_query draws from a key, so reproduce its selection manually
+    sq = np.asarray(ops.pairwise_sqdist(centers, pts))
+    scores = np.where(sq <= r * r, np.asarray(pri)[:, None, :], np.inf)
+    order = np.argsort(scores, axis=-1, kind="stable")[..., :k]
+    ref_counts = (np.sort(scores, axis=-1)[..., :k] < np.inf).sum(-1)
+    ref_feats = np.zeros((b, m, k, 5), np.float32)
+    for bi in range(b):
+        for mi in range(m):
+            c = ref_counts[bi, mi]
+            sel = [order[bi, mi, j % max(c, 1)] if j >= c else order[bi, mi, j]
+                   for j in range(k)]
+            if c > 0:
+                ref_feats[bi, mi] = np.asarray(feats)[bi, sel]
+
+    out_f, valid, counts = sharded_ball_gather(mesh, centers, pts, feats, r,
+                                               k, pri)
+    np.testing.assert_array_equal(np.asarray(counts), ref_counts)
+    np.testing.assert_allclose(np.asarray(out_f), ref_feats, atol=1e-6)
+    assert valid.shape == (b, m, k)
+
+    # and against the production op drawing the same key
+    bq = ops.ball_query(pts, centers, r, k, key=jax.random.PRNGKey(3))
+    ref_op = np.asarray(ops.gather_points(feats, bq.idx))
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(bq.counts))
+    np.testing.assert_allclose(np.asarray(out_f), ref_op, atol=1e-6)

@@ -187,3 +187,66 @@ def sharded_knn_gather(mesh: Mesh, query: Array, database: Array,
         return -neg_top, out_f
 
     return _inner(query, database, features)
+
+
+def sharded_ball_gather(mesh: Mesh, centers: Array, points: Array,
+                        features: Array, radius: float, k: int,
+                        priority: Array) -> Tuple[Array, Array, Array]:
+    """Random-priority ball query + feature gather with the cloud sharded on N.
+
+    The descriptor's grouping step (ops/grouping.py ball_query +
+    gather_points) for clouds beyond one chip: ``points``/``features``/
+    ``priority`` shard over the mesh's ``points`` axis, ``centers`` replicate.
+    Each shard selects its k lowest-priority in-ball candidates; the
+    per-shard winners (k * num_shards per center — tiny) all_gather and
+    re-select globally, which is EXACTLY the unsharded selection because the
+    global k lowest priorities are a subset of each shard's k lowest.
+
+    Args:
+      centers: ``(B, M, 3)`` replicated ball centers (keypoints).
+      points: ``(B, N, 3)``, N sharded.
+      features: ``(B, N, C)``, N sharded (e.g. concat(xyz, sn)).
+      priority: ``(B, N)`` iid per-point priorities, N sharded — drawn by the
+        caller (jax.random.uniform) so sharded and unsharded runs consume the
+        identical permutation; parity-tested against ops.ball_query.
+
+    Returns:
+      ``(feats (B, M, k, C), valid (B, M, k), counts (B, M))`` replicated,
+      with the unsharded op's cyclic-padding/empty-ball contract applied to
+      the gathered features (padded slots repeat in-ball features; empty
+      balls yield zero features).
+    """
+    from usip_tpu.ops import pairwise_sqdist
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(None, POINT_AXIS, None), P(None, POINT_AXIS, None),
+                  P(None, POINT_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    def _inner(c, p_sh, f_sh, pri_sh):
+        axis = POINT_AXIS
+        sq = pairwise_sqdist(c, p_sh)                       # (B, M, n_local)
+        scores = jnp.where(sq <= radius * radius,
+                           pri_sh[:, None, :], jnp.inf)
+        neg_top, idx = jax.lax.top_k(-scores, min(k, scores.shape[-1]))
+        kk = neg_top.shape[-1]
+        cand_f = jnp.take_along_axis(
+            f_sh[:, None, :, :],
+            idx[..., None].repeat(f_sh.shape[-1], -1), axis=2)  # (B, M, kk, C)
+        all_s = jax.lax.all_gather(-neg_top, axis, axis=2, tiled=True)
+        all_f = jax.lax.all_gather(cand_f, axis, axis=2, tiled=True)
+        neg_sel, sel = jax.lax.top_k(-all_s, k)              # (B, M, k)
+        found = jnp.isfinite(-neg_sel)
+        counts = jnp.sum(found, axis=-1).astype(jnp.int32)
+        # cyclic padding over the selected slots (ops/grouping.py contract)
+        slot = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+        denom = jnp.maximum(counts, 1)[..., None]
+        wrapped = jnp.where(found, slot, slot % denom)
+        sel = jnp.take_along_axis(sel, wrapped, axis=-1)
+        feats = jnp.take_along_axis(
+            all_f, sel[..., None].repeat(all_f.shape[-1], -1), axis=2)
+        feats = jnp.where(counts[..., None, None] > 0, feats, 0.0)
+        return feats, found, counts
+
+    return _inner(centers, points, features, priority)
