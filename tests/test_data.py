@@ -372,3 +372,22 @@ def test_parent_cloud_dataset(tmp_path):
     bad2 = dataclasses.replace(cfg, parent_pc_num=32)
     with _pytest.raises(ValueError):
         ParentCloudDataset(ModelNetDataset(bad2, "train", sn_len=3))
+
+
+def test_modelnet_cls_dataset(tmp_path):
+    """Classification-style loader (SO-Net legacy surface,
+    modelnet_cls_loader.py): single view + integer label."""
+    from usip_tpu.data.loaders import ModelNetClsDataset
+    root = str(tmp_path / "modelnet")
+    _make_modelnet_tree(root)
+    cfg = DataConfig(dataset="modelnet", dataroot=root, input_pc_num=64)
+    ds = ModelNetClsDataset(cfg, "train", sn_len=3)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["pc"].shape == (64, 3)
+    assert item["sn"].shape == (64, 3)
+    assert item["label"].dtype == np.int32 and item["label"] == 0
+    from usip_tpu.data.pipeline import BatchLoader
+    batch = next(iter(BatchLoader(ds, 2, num_workers=1, seed=0)))
+    assert batch["pc"].shape == (2, 64, 3)
+    assert batch["label"].shape == (2,)

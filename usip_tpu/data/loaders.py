@@ -122,6 +122,25 @@ class ModelNetDataset(SiameseDetectorDataset):
         return self.items[index][0]
 
 
+class ModelNetClsDataset(ModelNetDataset):
+    """Classification-style single-view items ``{pc, sn, label}`` — the
+    SO-Net-legacy loader (reference data/modelnet_cls_loader.py:84-208,
+    unreferenced by any USIP entry script). Provided so the full data surface
+    of the reference tree carries over; nodes are sampled on device like every
+    other loader here (the reference's som_nodes side-tree is unused even by
+    its own pipeline, modelnet_shrec_loader.py:152-180)."""
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        pc, sn = self.sample_instance(self._rng, index)
+        return {"pc": pc, "sn": sn,
+                "label": np.asarray(self.items[index][1], np.int32)}
+
+    def get_batch(self, indices):
+        # the native fast path assembles *siamese* batches; single-view items
+        # take the per-item python route
+        return None
+
+
 class ShrecDataset(SiameseDetectorDataset):
     """SHREC2016 (npz with 'pc'/'sn', modelnet_shrec_loader.py:162-174)."""
 
