@@ -279,3 +279,30 @@ def test_sharded_ball_gather_matches_reference(mesh, rng):
     ref_op = np.asarray(ops.gather_points(feats, bq.idx))
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(bq.counts))
     np.testing.assert_allclose(np.asarray(out_f), ref_op, atol=1e-6)
+
+
+def test_sharded_describe_matches_descriptor(mesh, rng):
+    """Point-sharded descriptor forward == Descriptor.apply with the same key
+    (fp32 ball dtype for bit-identical priority ties)."""
+    from usip_tpu.config import get_config
+    from usip_tpu.models import Descriptor
+    from usip_tpu.parallel.sharded_descriptor import sharded_describe
+
+    cfg = get_config("modelnet", **{
+        "descriptor.descriptor_len": 16, "descriptor.ball_nsamples": 8,
+        "descriptor.ball_radius": 0.8, "descriptor.surface_normal_len": 3,
+        "descriptor.compute_dtype": "float32",
+        "descriptor.ball_compute_dtype": "float32"})
+    b, n, m = 2, 128, 8
+    pc = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    sn = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    kp = pc[:, :m]
+    model = Descriptor(cfg.descriptor)
+    key = jax.random.PRNGKey(5)
+    v = model.init(jax.random.PRNGKey(0), pc, sn, kp, key=key, train=False)
+    ref_desc, ref_feats = model.apply(v, pc, sn, kp, key=key, train=False)
+    sh_desc, sh_feats = sharded_describe(mesh, cfg, v, pc, sn, kp, key)
+    np.testing.assert_allclose(np.asarray(sh_feats), np.asarray(ref_feats),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sh_desc), np.asarray(ref_desc),
+                               atol=1e-5)

@@ -1,0 +1,101 @@
+"""Point-sharded descriptor forward: ball grouping over a sharded cloud.
+
+Completes the sequence-parallel story for the serving pipeline: the
+descriptor's only O(N) stage is the ball query + feature gather, which
+``sharded_ball_gather`` runs over the mesh's ``points`` axis (per-shard
+candidate selection + one tiny all_gather). The conv stack then operates on
+the replicated (B, M, K, C) ball features exactly like the single-chip
+``Descriptor`` — the submodules are re-applied by name with the same
+variables, so any trained/imported checkpoint works unchanged.
+
+Inference-path only (the descriptor's ball grouping is under stop_gradient
+in training anyway, models/descriptor.py); numerically identical to
+``Descriptor.apply`` given the same PRNG key when the ball dtype is fp32
+(the bf16 score default resolves priority ties differently — pass
+``descriptor.ball_compute_dtype='float32'`` for bit parity).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from usip_tpu.config import Config
+from usip_tpu.models.descriptor import Descriptor
+from usip_tpu.nn.layers import PointwiseLayer
+from usip_tpu.ops import safe_sqrt
+from usip_tpu.parallel.sharded_ops import sharded_ball_gather
+
+Array = jax.Array
+
+
+def _apply_layer(cfg, variables, name, x, *, features, activation,
+                 normalization):
+    dt = jnp.bfloat16 if cfg.descriptor.compute_dtype == "bfloat16" else None
+    layer = PointwiseLayer(features, activation=activation,
+                           normalization=normalization, dtype=dt)
+    sub = {"params": variables["params"][name]}
+    if "batch_stats" in variables and name in variables["batch_stats"]:
+        sub["batch_stats"] = variables["batch_stats"][name]
+    return layer.apply(sub, x, False, 0.1)
+
+
+def sharded_describe(mesh: Mesh, cfg: Config, variables, pc: Array, sn: Array,
+                     keypoints: Array, key: Array) -> Tuple[Array, Array]:
+    """Descriptor forward with pc/sn sharded over the mesh's ``points`` axis.
+
+    Args:
+      variables: (replicated) flax variables of a ``Descriptor``.
+      pc (B, N, 3), sn (B, N, S): N must divide the mesh size.
+      keypoints (B, M, 3): replicated.
+      key: PRNG key for the ball priorities (same key as the single-chip
+        call -> same sampling).
+
+    Returns (descriptors (B, M, len), ball feats (B, M, K, 3+S)), replicated.
+    """
+    dcfg = cfg.descriptor
+    d = dcfg.descriptor_len
+    b, n, _ = pc.shape
+    if dcfg.surface_normal_len > 0:
+        x_aug = jnp.concatenate([pc, sn], axis=-1)
+    else:
+        x_aug = pc
+    priority = jax.random.uniform(key, (b, n), dtype=jnp.float32)
+    feats, _, _ = sharded_ball_gather(mesh, keypoints, pc, x_aug,
+                                      dcfg.ball_radius, dcfg.ball_nsamples,
+                                      priority)
+    g_xyz = feats[..., 0:3] - keypoints[:, :, None, :]
+    ball_feats = jnp.concatenate([g_xyz, feats[..., 3:]], axis=-1)
+    h = ball_feats
+
+    act, norm = dcfg.activation, dcfg.normalization
+    for i, c in enumerate((d // 4, d // 2, d)):
+        h = _apply_layer(cfg, variables, f"conv{i + 1}", h, features=c,
+                         activation=act, normalization=norm)
+    h_max = jnp.max(h, axis=-2, keepdims=True)
+    y = jnp.concatenate([h, jnp.broadcast_to(h_max, h.shape)], axis=-1)
+    y = _apply_layer(cfg, variables, "conv4", y, features=d, activation=act,
+                     normalization=norm)
+    y = _apply_layer(cfg, variables, "conv5", y, features=d, activation=None,
+                     normalization=None)
+    desc = jnp.max(y, axis=-2).astype(jnp.float32)
+
+    if dcfg.use_global_context:
+        global_desc = jnp.max(desc, axis=-2, keepdims=True)
+        fusion = jnp.concatenate(
+            [desc, jnp.broadcast_to(global_desc, desc.shape)], axis=-1)
+        z = _apply_layer(cfg, variables, "fc1", fusion, features=2 * d,
+                         activation=act, normalization=norm)
+        z = _apply_layer(cfg, variables, "fc2", z, features=d, activation=act,
+                         normalization=norm)
+        desc = _apply_layer(cfg, variables, "fc3", z, features=d,
+                            activation=None, normalization=None)
+
+    nrm = safe_sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True))
+    return desc / (nrm + 1e-5), ball_feats
+
+
+__all__ = ["sharded_describe", "Descriptor"]
