@@ -500,3 +500,21 @@ def test_engine_snapshot_visuals(tmp_path):
     assert payload["nodes"].shape == (cfg.data.node_num, 3)
     assert payload["keypoints"].shape[1] == 3
     assert payload["sigmas"].shape[0] == payload["keypoints"].shape[0]
+
+
+def test_checkpoint_restore_rejects_width_mismatch(tmp_path):
+    """A checkpoint trained at different widths must fail loudly at restore
+    (not as a cryptic ScopeParamShapeError at first apply) — the scenenn
+    full-vs-lite detector trap."""
+    cfg = _tiny_config()
+    _, state = _make_state(cfg, jax.random.PRNGKey(0))
+    path = os.path.join(tmp_path, "ckpt.msgpack")
+    save_checkpoint(path, state)
+    cfg_wide = get_config(
+        "modelnet",
+        **{"data.input_pc_num": 128, "data.node_num": 16,
+           "detector.c1": 32, "detector.c2": 64, "detector.node_knn_k": 4,
+           "train.batch_size": 4})
+    _, wide = _make_state(cfg_wide, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="widths"):
+        restore_checkpoint(path, wide)

@@ -96,6 +96,14 @@ def _make_loaders(cfg, args, sn_len):
 
 def cmd_train_detector(args):
     cfg = _build_config(args)
+    if getattr(args, "lite", False):
+        # indoor widths (RPN_DetectorLite, networks.py:165-307) — required
+        # when the checkpoint will feed an indoor descriptor pipeline, which
+        # builds the lite-width detector (config.get_config role='descriptor')
+        import dataclasses as _dc
+
+        from usip_tpu.config import lite_detector
+        cfg = _dc.replace(cfg, detector=lite_detector(cfg.detector))
     from usip_tpu.train.loop import DetectorEngine
     train, test = _make_loaders(cfg, args, cfg.detector.surface_normal_len)
     engine = DetectorEngine(cfg, train, test, profile_dir=args.profile_dir)
@@ -372,6 +380,10 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--resume", default=None,
                    help="checkpoint path, or 'auto' for <out_dir>/last.msgpack")
+    p.add_argument("--lite", action="store_true",
+                   help="indoor lite widths (c1=64/c2=256, RPN_DetectorLite) "
+                        "— use when training the detector for an indoor "
+                        "(scenenn/3DMatch) descriptor pipeline")
     p.set_defaults(fn=cmd_train_detector)
 
     p = sub.add_parser("train-descriptor")

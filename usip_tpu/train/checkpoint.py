@@ -51,6 +51,23 @@ def restore_checkpoint(path: str, state: Any) -> Tuple[Any, Optional[Dict]]:
         "opt_state": _to_host(state.opt_state),
     }
     payload = serialization.from_bytes(template, data)
+    # shape-validate params against the template model: flax's from_bytes
+    # fills by tree position, so a width mismatch (e.g. a full-width detector
+    # checkpoint fed to the indoor/lite pipeline) would otherwise surface as
+    # a cryptic ScopeParamShapeError at first apply
+    tmpl_leaves = jax.tree_util.tree_leaves_with_path(template["params"])
+    load_leaves = jax.tree_util.tree_leaves(payload["params"])
+    for (kp, t), v in zip(tmpl_leaves, load_leaves):
+        ts, vs = getattr(t, "shape", None), getattr(v, "shape", None)
+        if ts != vs:
+            name = jax.tree_util.keystr(kp)
+            raise ValueError(
+                f"checkpoint {path!r} param {name} has shape {vs}, model "
+                f"expects {ts} — the checkpoint was trained with different "
+                "widths than this pipeline builds (e.g. a full-width "
+                "detector checkpoint in the indoor/lite descriptor "
+                "pipeline: retrain the detector with --lite, or override "
+                "detector.c1/c2 to match)")
     new_state = state.replace(
         step=jax.numpy.asarray(payload["step"]),
         params=payload["params"],
