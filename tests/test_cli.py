@@ -159,3 +159,51 @@ def test_cli_detect_render_gallery(tmp_path, capsys):
     assert (out / "a.png").stat().st_size > 1000
     html = (out / "index.html").read_text()
     assert "a.png" in html
+
+
+def test_cli_serve_loop(tmp_path):
+    """serve: resident JSONL keypoint service — requests stream on stdin, the
+    model stays compiled across them; errors don't kill the loop."""
+    import subprocess
+    import sys as _sys
+
+    from usip_tpu.config import get_config
+    from usip_tpu.train.checkpoint import save_checkpoint
+    from usip_tpu.train.loop import init_detector_state
+
+    cfg = get_config("modelnet", **{
+        "data.input_pc_num": 128, "data.node_num": 16,
+        "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4})
+    _, det = init_detector_state(cfg, 0)
+    ckpt = str(tmp_path / "det.msgpack")
+    save_checkpoint(ckpt, det)
+    rng = np.random.default_rng(0)
+    clouds = []
+    for i in range(2):
+        p = str(tmp_path / f"c{i}.npy")
+        np.save(p, rng.normal(size=(100 + 30 * i, 3)).astype(np.float32))
+        clouds.append(p)
+
+    reqs = "\n".join([
+        json.dumps({"id": 1, "input": clouds[0], "out": str(tmp_path / "o")}),
+        json.dumps({"id": 2, "input": "/nonexistent.npy"}),
+        json.dumps({"id": 3, "input": clouds[1], "out": str(tmp_path / "o"),
+                    "num_keypoints": 4}),
+        json.dumps({"cmd": "shutdown"}),
+    ]) + "\n"
+    proc = subprocess.run(
+        [_sys.executable, "-m", "usip_tpu.cli", "serve", "--dataset",
+         "modelnet", "--checkpoint", ckpt, "--num-keypoints", "8",
+         "--platform", "cpu"] + TINY,
+        input=reqs, capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    lines = [json.loads(l) for l in proc.stdout.strip().splitlines()
+             if l.startswith("{")]
+    assert lines[0]["status"] == "ready"
+    by_id = {l.get("id"): l for l in lines[1:] if "id" in l}
+    assert by_id[1]["n"] == 8
+    kp = np.fromfile(by_id[1]["keypoints"], np.float32)
+    assert kp.size == 8 * 3
+    assert "error" in by_id[2]
+    assert by_id[3]["n"] == 4
+    assert lines[-1]["status"] == "bye"

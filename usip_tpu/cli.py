@@ -339,6 +339,72 @@ def cmd_detect(args):
     print(json.dumps({"clouds": len(paths), "out": args.out}))
 
 
+def cmd_serve(args):
+    """Long-running keypoint service: one JSON request per stdin line,
+    one JSON reply per stdout line.
+
+    Request:  {"input": "<cloud.npy>", "out": "<dir>", "id": any,
+               "num_keypoints": int?, "nms_radius": float?}
+    Reply:    {"id": ..., "keypoints": "<path>.keypoints.bin",
+               "descriptors": "<path>.desc.bin"?, "n": int}
+    Errors reply {"id": ..., "error": "..."} and the loop continues. EOF or
+    a {"cmd": "shutdown"} line exits cleanly. The model stays resident and
+    compiled across requests — the deployment analog of the reference's
+    one-shot save_keypoints.py batch tool."""
+    import sys as _sys
+
+    import numpy as np
+
+    from usip_tpu.inference import KeypointPipeline
+
+    cfg = _build_config(args)
+    pipe = KeypointPipeline(cfg, args.checkpoint,
+                            descriptor_checkpoint=args.descriptor_checkpoint)
+    s = cfg.detector.surface_normal_len
+    print(json.dumps({"status": "ready",
+                      "descriptors": args.descriptor_checkpoint is not None}),
+          flush=True)
+    for line in _sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            print(json.dumps({"error": f"bad request: {e}"}), flush=True)
+            continue
+        if req.get("cmd") == "shutdown":
+            print(json.dumps({"status": "bye"}), flush=True)
+            return
+        rid = req.get("id")
+        try:
+            data = np.load(req["input"])
+            pc = data[:, :3]
+            sn = data[:, 3:3 + s] if data.shape[1] > 3 else None
+            out_dir = req.get("out", args.out or ".")
+            os.makedirs(out_dir, exist_ok=True)
+            name = os.path.splitext(os.path.basename(req["input"]))[0]
+            nk = int(req.get("num_keypoints", args.num_keypoints))
+            nms = float(req.get("nms_radius", args.nms_radius))
+            reply = {"id": rid}
+            if args.descriptor_checkpoint:
+                kp, desc = pipe.detect_and_describe(pc, sn, num_keypoints=nk,
+                                                    nms_radius=nms)
+                dpath = os.path.join(out_dir, f"{name}.desc.bin")
+                desc.astype(np.float32).tofile(dpath)
+                reply["descriptors"] = dpath
+            else:
+                kp, _ = pipe.detect(pc, sn, num_keypoints=nk, nms_radius=nms)
+            kpath = os.path.join(out_dir, f"{name}.keypoints.bin")
+            kp.astype(np.float32).tofile(kpath)
+            reply.update(keypoints=kpath, n=int(kp.shape[0]))
+            print(json.dumps(reply), flush=True)
+        except Exception as e:  # noqa: BLE001 — a bad request must not kill the server
+            print(json.dumps({"id": rid,
+                              "error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
+
+
 def cmd_import_torch(args):
     """Convert a reference PyTorch checkpoint (<epoch>_net_detector.pth /
     _net_descriptor.pth, keypoint_detector.py:348-351) into a full-state
@@ -490,6 +556,17 @@ def main(argv=None):
     p.add_argument("--html", action="store_true",
                    help="also build an index.html gallery of the renders")
     p.set_defaults(fn=cmd_detect)
+
+    p = sub.add_parser("serve", help="resident keypoint service: JSON "
+                       "requests on stdin, JSON replies on stdout")
+    _add_common(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--descriptor-checkpoint", default=None)
+    p.add_argument("--out", default=None,
+                   help="default output dir when requests omit 'out'")
+    p.add_argument("--num-keypoints", type=int, default=128)
+    p.add_argument("--nms-radius", type=float, default=0.0)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("import-torch", help="convert a reference .pth "
                        "state_dict into a framework checkpoint")
