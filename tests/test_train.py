@@ -518,3 +518,28 @@ def test_checkpoint_restore_rejects_width_mismatch(tmp_path):
     _, wide = _make_state(cfg_wide, jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="widths"):
         restore_checkpoint(path, wide)
+
+
+def test_keep_epoch_checkpoints(tmp_path):
+    """train.keep_epoch_checkpoints writes the reference's per-epoch trail
+    ('<epoch>_net_detector.pth', modelnet/train_detector.py:111-113) as
+    epoch_<n>.msgpack files, resumable like any checkpoint."""
+    from usip_tpu.data.pipeline import BatchLoader
+    from usip_tpu.data.synthetic import SyntheticDataset
+    from usip_tpu.train.loop import DetectorEngine
+
+    cfg = _tiny_config().with_overrides(**{
+        "train.keep_epoch_checkpoints": True, "train.epochs": 2})
+    ds = SyntheticDataset(size=8, input_pc_num=cfg.data.input_pc_num,
+                          surface_normal_len=cfg.detector.surface_normal_len,
+                          seed=0)
+    train = BatchLoader(ds, 4, num_workers=1, seed=0)
+    eng = DetectorEngine(cfg, train, None, out_dir=str(tmp_path))
+    eng.fit()
+    for e in range(2):
+        p = os.path.join(str(tmp_path), f"epoch_{e}.msgpack")
+        assert os.path.exists(p), p
+    _, fresh = _make_state(cfg, jax.random.PRNGKey(1))
+    restored, meta = restore_checkpoint(
+        os.path.join(str(tmp_path), "epoch_1.msgpack"), fresh)
+    assert meta["epoch"] == 1

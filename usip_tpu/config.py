@@ -163,6 +163,10 @@ class TrainConfig:
     name: str = "train"
     log_every: int = 20
     save_every_epochs: int = 1
+    # also keep per-epoch history files epoch_<n>.msgpack (the reference's
+    # '<epoch>_net_detector.pth' trail that modelnet/oxford drivers write,
+    # modelnet/train_detector.py:111-113) instead of only best/last
+    keep_epoch_checkpoints: bool = False
     # keypoint-scene visuals every N epochs (0 = off): .npz scatter payload +
     # PNG render, the visdom display_current_results analog
     # (keypoint_detector.py:259-334)

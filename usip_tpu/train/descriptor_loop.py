@@ -205,4 +205,8 @@ class DescriptorEngine:
             save_checkpoint(os.path.join(self.out_dir, "last.msgpack"),
                             self.state,
                             metadata={"epoch": epoch, **(test_avg or avg)})
+            if self.cfg.train.keep_epoch_checkpoints:
+                save_checkpoint(
+                    os.path.join(self.out_dir, f"epoch_{epoch}.msgpack"),
+                    self.state, metadata={"epoch": epoch, **(test_avg or avg)})
         return self.state

@@ -298,6 +298,12 @@ class DetectorEngine:
                     epoch % self.cfg.train.save_every_epochs == 0:
                 save_checkpoint(os.path.join(self.out_dir, "last.msgpack"),
                                 self.state, metadata={"epoch": epoch, **test_avg})
+                if self.cfg.train.keep_epoch_checkpoints:
+                    # the reference's per-epoch trail
+                    # ('<epoch>_net_detector.pth', modelnet driver :111-113)
+                    save_checkpoint(
+                        os.path.join(self.out_dir, f"epoch_{epoch}.msgpack"),
+                        self.state, metadata={"epoch": epoch, **test_avg})
         return self.state
 
     def test_sweep_truncated(self, epoch: int, max_samples: int) -> Dict[str, float]:
