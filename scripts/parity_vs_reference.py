@@ -21,10 +21,11 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -48,7 +49,7 @@ def main():
     from usip_tpu.models import Detector
     from usip_tpu.train import reference_runtime as rr
 
-    torch.set_num_threads(torch.get_num_threads())
+    torch.set_num_threads(os.cpu_count() or 1)
     cfg = get_config("kitti", **{
         "data.input_pc_num": args.n, "data.node_num": args.m,
         "detector.compute_dtype": "float32"})

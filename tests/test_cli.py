@@ -158,7 +158,8 @@ def test_cli_detect_render_gallery(tmp_path, capsys):
               "--num-keypoints", "8", "--render", "--html"] + TINY)
     assert (out / "a.png").stat().st_size > 1000
     html = (out / "index.html").read_text()
-    assert "a.png" in html
+    # the link must resolve relative to index.html (the PNG sits next to it)
+    assert "src='a.png'" in html
 
 
 def test_cli_serve_loop(tmp_path):

@@ -99,11 +99,23 @@ def cmd_train_detector(args):
     if getattr(args, "lite", False):
         # indoor widths (RPN_DetectorLite, networks.py:165-307) — required
         # when the checkpoint will feed an indoor descriptor pipeline, which
-        # builds the lite-width detector (config.get_config role='descriptor')
+        # builds the lite-width detector (config.get_config role='descriptor').
+        # Explicit --override detector.* entries keep precedence over --lite.
         import dataclasses as _dc
 
         from usip_tpu.config import lite_detector
         cfg = _dc.replace(cfg, detector=lite_detector(cfg.detector))
+        det_overrides = {}
+        for ov in args.override:
+            k, _, v = ov.partition("=")
+            if k.startswith("detector."):
+                try:
+                    v = json.loads(v)
+                except json.JSONDecodeError:
+                    pass
+                det_overrides[k] = v
+        if det_overrides:
+            cfg = cfg.with_overrides(**det_overrides)
     from usip_tpu.train.loop import DetectorEngine
     train, test = _make_loaders(cfg, args, cfg.detector.surface_normal_len)
     engine = DetectorEngine(cfg, train, test, profile_dir=args.profile_dir)
@@ -305,7 +317,9 @@ def cmd_detect(args):
     gallery = None
     if getattr(args, "html", False):
         from usip_tpu.utils.html import HTMLGallery
-        gallery = HTMLGallery(args.out, title="usip_tpu detections")
+        # image_dir='' -> renders live next to index.html, links stay valid
+        gallery = HTMLGallery(args.out, title="usip_tpu detections",
+                              image_dir="")
     s = cfg.detector.surface_normal_len
     for path in paths:
         data = np.load(path)

@@ -12,7 +12,9 @@ Inference-path only (the descriptor's ball grouping is under stop_gradient
 in training anyway, models/descriptor.py); numerically identical to
 ``Descriptor.apply`` given the same PRNG key when the ball dtype is fp32
 (the bf16 score default resolves priority ties differently — pass
-``descriptor.ball_compute_dtype='float32'`` for bit parity).
+``descriptor.ball_compute_dtype='float32'`` for bit parity) and every ball
+is non-empty (empty balls yield zero descriptors here vs the single-chip
+model's point-0 fallback — see sharded_ball_gather).
 """
 
 from __future__ import annotations
@@ -33,8 +35,11 @@ Array = jax.Array
 
 
 def _apply_layer(cfg, variables, name, x, *, features, activation,
-                 normalization):
-    dt = jnp.bfloat16 if cfg.descriptor.compute_dtype == "bfloat16" else None
+                 normalization, compute_dtype=True):
+    # the model runs its final (un-normalized) layers conv5/fc3 in fp32
+    # regardless of compute_dtype (models/descriptor.py:72,88)
+    dt = jnp.bfloat16 if (compute_dtype and
+                          cfg.descriptor.compute_dtype == "bfloat16") else None
     layer = PointwiseLayer(features, activation=activation,
                            normalization=normalization, dtype=dt)
     sub = {"params": variables["params"][name]}
@@ -80,7 +85,7 @@ def sharded_describe(mesh: Mesh, cfg: Config, variables, pc: Array, sn: Array,
     y = _apply_layer(cfg, variables, "conv4", y, features=d, activation=act,
                      normalization=norm)
     y = _apply_layer(cfg, variables, "conv5", y, features=d, activation=None,
-                     normalization=None)
+                     normalization=None, compute_dtype=False)
     desc = jnp.max(y, axis=-2).astype(jnp.float32)
 
     if dcfg.use_global_context:
@@ -92,7 +97,8 @@ def sharded_describe(mesh: Mesh, cfg: Config, variables, pc: Array, sn: Array,
         z = _apply_layer(cfg, variables, "fc2", z, features=d, activation=act,
                          normalization=norm)
         desc = _apply_layer(cfg, variables, "fc3", z, features=d,
-                            activation=None, normalization=None)
+                            activation=None, normalization=None,
+                            compute_dtype=False)
 
     nrm = safe_sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True))
     return desc / (nrm + 1e-5), ball_feats

@@ -212,9 +212,12 @@ def sharded_ball_gather(mesh: Mesh, centers: Array, points: Array,
 
     Returns:
       ``(feats (B, M, k, C), valid (B, M, k), counts (B, M))`` replicated,
-      with the unsharded op's cyclic-padding/empty-ball contract applied to
-      the gathered features (padded slots repeat in-ball features; empty
-      balls yield zero features).
+      with the unsharded op's cyclic padding applied to the gathered
+      features (padded slots repeat in-ball features). DELIBERATE DEVIATION
+      for empty balls: features are zero here, whereas the unsharded
+      ``ball_query`` returns index 0 and callers gather point 0's features —
+      zeros are the saner degenerate value and avoid gathering an arbitrary
+      cross-shard point.
     """
     from usip_tpu.ops import pairwise_sqdist
 

@@ -92,9 +92,17 @@ def install_extension_shims() -> None:
     sys.modules.setdefault("index_max", im)
     sys.modules.setdefault("ball_query", bq)
     # unused-at-forward-time heavyweight imports in the reference tree
-    # (util/som.py imports torchvision; util/visualizer.py imports visdom)
+    # (util/som.py imports torchvision; util/visualizer.py imports visdom).
+    # Only stub what genuinely isn't importable — a stub would otherwise
+    # shadow a real installed package for the rest of the process.
+    import importlib
     for name in ("torchvision", "visdom"):
-        sys.modules.setdefault(name, types.ModuleType(name))
+        if name in sys.modules:
+            continue
+        try:
+            importlib.import_module(name)
+        except ImportError:
+            sys.modules[name] = types.ModuleType(name)
 
 
 def load_reference_networks(reference_root: str):

@@ -39,7 +39,8 @@ class HTMLGallery:
         for header, images in self._sections:
             parts.append(f"<h2>{html.escape(header)}</h2><div class='row'>")
             for fn, caption in images:
-                src = f"{self.image_dir}/{html.escape(fn)}"
+                src = html.escape(fn) if not self.image_dir \
+                    else f"{self.image_dir}/{html.escape(fn)}"
                 parts.append(
                     f"<div class='cell'><a href='{src}'><img src='{src}'></a>"
                     f"<div>{html.escape(caption)}</div></div>")
