@@ -1,6 +1,7 @@
 """Pipelined ablation timings of the detection path (no per-call sync)."""
 import sys, time
-sys.path.insert(0, "/root/repo")
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from usip_tpu.config import get_config
 from usip_tpu.models import Detector

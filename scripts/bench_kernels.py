@@ -11,7 +11,8 @@ import argparse
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

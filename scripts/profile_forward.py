@@ -7,7 +7,8 @@ host. Identifies the hot ops to tile with Pallas (SURVEY.md §7 hard parts)."""
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

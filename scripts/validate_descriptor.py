@@ -16,7 +16,8 @@ import argparse
 import json
 import sys
 
-sys.path.insert(0, "/root/repo")
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
