@@ -62,9 +62,13 @@ void usip_subsample(const float* data, int64_t n, int64_t c, int64_t target,
       std::memcpy(out + i * c, data + idx[i] * c, sizeof(float) * c);
     return;
   }
+  // short cloud: whole-array repetition + a no-replacement remainder, then a
+  // full shuffle — downstream slice-mode device sampling takes prefix/suffix
+  // crops and requires uniformly random row order (data/common.py contract)
+  std::vector<int64_t> sel((size_t)target);
   int64_t filled = 0;
   while (filled + n <= target) {
-    std::memcpy(out + filled * c, data, sizeof(float) * n * c);
+    for (int64_t i = 0; i < n; ++i) sel[(size_t)(filled + i)] = i;
     filled += n;
   }
   int64_t remain = target - filled;
@@ -74,8 +78,13 @@ void usip_subsample(const float* data, int64_t n, int64_t c, int64_t target,
     int64_t j = i + (int64_t)rng.below((uint64_t)(n - i));
     std::swap(idx[i], idx[j]);
   }
-  for (int64_t i = 0; i < remain; ++i)
-    std::memcpy(out + (filled + i) * c, data + idx[i] * c, sizeof(float) * c);
+  for (int64_t i = 0; i < remain; ++i) sel[(size_t)(filled + i)] = idx[i];
+  for (int64_t i = target - 1; i > 0; --i) {
+    int64_t j = (int64_t)rng.below((uint64_t)(i + 1));
+    std::swap(sel[(size_t)i], sel[(size_t)j]);
+  }
+  for (int64_t i = 0; i < target; ++i)
+    std::memcpy(out + i * c, data + sel[(size_t)i] * c, sizeof(float) * c);
 }
 
 // ------------------------------------------------------------------- FPS ----

@@ -391,3 +391,63 @@ def test_modelnet_cls_dataset(tmp_path):
     batch = next(iter(BatchLoader(ds, 2, num_workers=1, seed=0)))
     assert batch["pc"].shape == (2, 64, 3)
     assert batch["label"].shape == (2,)
+
+
+def test_subsample_fixed_short_cloud_random_order():
+    """Short clouds pad by repetition AND come back in uniformly random row
+    order — slice-mode device sampling takes prefix/suffix crops and would
+    otherwise see scan-order-biased siamese copies (oxford ~20k submaps vs
+    parent_pc_num=20480)."""
+    from usip_tpu.data.common import subsample_fixed
+    from usip_tpu import native as native_mod
+    rng = np.random.default_rng(0)
+    data = np.arange(100, dtype=np.float32).reshape(100, 1) \
+        .repeat(4, 1)  # row id in every column
+    out = subsample_fixed(rng, data, 160)
+    ids = out[:, 0].astype(int)
+    counts = np.bincount(ids, minlength=100)
+    assert counts.min() >= 1 and counts.max() <= 2  # repetition contract
+    # not in scan order: the first 100 rows must not be exactly 0..99,
+    # nor sorted ascending
+    assert not np.array_equal(ids[:100], np.arange(100))
+    assert not (np.diff(ids[:100]) >= 0).all()
+    # prefix/suffix crops each cover a healthy spread of the cloud
+    assert len(set(ids[:80])) > 50 and len(set(ids[-80:])) > 50
+
+    if native_mod.available():
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "short.npy")
+            np.save(p, data)
+            pc, sn = native_mod.batch_load_subsample([p], 160, 1, seed=3)
+            nid = pc[0, :, 0].astype(int)
+            ncounts = np.bincount(nid, minlength=100)
+            assert ncounts.min() >= 1 and ncounts.max() <= 2
+            assert not np.array_equal(nid[:100], np.arange(100))
+            assert not (np.diff(nid[:100]) >= 0).all()
+            assert len(set(nid[:80])) > 50 and len(set(nid[-80:])) > 50
+
+
+def test_batchloader_abandoned_iteration_releases_producer():
+    """Abandoning iteration mid-epoch (truncated test sweeps, single-batch
+    pulls) must terminate the producer thread instead of leaving it blocked
+    on a full queue holding batches."""
+    import threading
+    import time as time_mod
+
+    from usip_tpu.data.pipeline import BatchLoader
+    from usip_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(size=32, input_pc_num=64, seed=0)
+    base = threading.active_count()
+    for _ in range(8):
+        loader = BatchLoader(ds, 2, num_workers=2, prefetch=1, seed=0)
+        it = iter(loader)
+        next(it)
+        it.close()  # GeneratorExit -> stop event -> producer must exit
+    deadline = time_mod.time() + 10
+    while time_mod.time() < deadline:
+        if threading.active_count() <= base + 1:
+            break
+        time_mod.sleep(0.2)
+    assert threading.active_count() <= base + 1, threading.active_count()

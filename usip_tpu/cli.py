@@ -266,9 +266,18 @@ def cmd_eval_indoor(args):
     scenes = args.scenes.split(",")
     logs = {}
     if args.logs_only:
+        if not args.log_dir:
+            raise SystemExit("eval-indoor: --logs-only requires --log-dir")
         for scene in scenes:
             logs[scene] = os.path.join(args.log_dir, f"{scene}.log")
     else:
+        missing = [f for f, v in (("--pc-root", args.pc_root),
+                                  ("--result-root", args.result_root),
+                                  ("--out", args.out)) if not v]
+        if missing:
+            raise SystemExit(
+                f"eval-indoor: register mode requires {' '.join(missing)} "
+                "(or pass --logs-only with --log-dir)")
         os.makedirs(args.out, exist_ok=True)
         for scene in scenes:
             pc_dir = os.path.join(args.pc_root, scene)
@@ -297,6 +306,20 @@ def cmd_eval_indoor(args):
     print(json.dumps(indoor.summarize(per_scene)))
 
 
+def _sn_columns(data, s):
+    """Extract the sn feature block from an (N, 3+F) cloud, zero-padding when
+    the file carries fewer channels than the model expects (a width mismatch
+    otherwise surfaces as an opaque XLA shape error deep in the forward)."""
+    import numpy as np
+    if data.shape[1] <= 3:
+        return None
+    sn = data[:, 3:3 + s].astype(np.float32)
+    if sn.shape[1] < s:
+        sn = np.concatenate(
+            [sn, np.zeros((sn.shape[0], s - sn.shape[1]), np.float32)], axis=1)
+    return sn
+
+
 def cmd_detect(args):
     """Serve keypoints (+descriptors) for arbitrary cloud files — no dataset
     layout required: each input .npy holds one (N, 3) or (N, 3+S) cloud."""
@@ -323,7 +346,7 @@ def cmd_detect(args):
     s = cfg.detector.surface_normal_len
     for path in paths:
         data = np.load(path)
-        pc, sn = data[:, :3], (data[:, 3:3 + s] if data.shape[1] > 3 else None)
+        pc, sn = data[:, :3], _sn_columns(data, s)
         name = os.path.splitext(os.path.basename(path))[0]
         if args.descriptor_checkpoint:
             kp, desc = pipe.detect_and_describe(
@@ -394,7 +417,7 @@ def cmd_serve(args):
         try:
             data = np.load(req["input"])
             pc = data[:, :3]
-            sn = data[:, 3:3 + s] if data.shape[1] > 3 else None
+            sn = _sn_columns(data, s)
             out_dir = req.get("out", args.out or ".")
             os.makedirs(out_dir, exist_ok=True)
             name = os.path.splitext(os.path.basename(req["input"]))[0]

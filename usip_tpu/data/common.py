@@ -24,7 +24,13 @@ def subsample_fixed(rng: np.random.Generator, data: np.ndarray,
     while fix.shape[0] + m < n:
         fix = np.concatenate([fix, np.arange(m)])
     extra = rng.choice(m, n - fix.shape[0], replace=False)
-    return data[np.concatenate([fix, extra])]
+    sel = np.concatenate([fix, extra])
+    # the returned rows must be in uniformly random order — slice-mode device
+    # sampling (data.device_sampling_mode='slice') takes prefix/suffix crops
+    # and relies on it; without this shuffle, short clouds (e.g. oxford ~20k
+    # submaps vs parent_pc_num=20480) came back in scan order
+    rng.shuffle(sel)
+    return data[sel]
 
 
 def split_pc_sn(data: np.ndarray, sn_len: int) -> Tuple[np.ndarray, np.ndarray]:

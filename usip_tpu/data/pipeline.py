@@ -79,12 +79,27 @@ class BatchLoader:
         batches = self._epoch_indices()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         get_batch = getattr(self.dataset, "get_batch", None)
+
+        def _put(item) -> bool:
+            # bounded put: consumers may abandon the iterator mid-epoch
+            # (truncated test sweeps, single-batch pulls); a plain q.put
+            # would leave this thread + its pool blocked forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for row in batches:
+                    if stop.is_set():
+                        break
                     # Batch fast path first (native thread-pooled
                     # load+subsample+split, usip_native.cpp
                     # usip_batch_load_subsample — one GIL-free call); a None
@@ -96,14 +111,23 @@ class BatchLoader:
                         batch = collate(items)
                     if self.post_collate is not None:
                         batch = self.post_collate(batch, row)
-                    q.put(batch)
-            q.put(sentinel)
+                    if not _put(batch):
+                        break
+            _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=30)

@@ -245,17 +245,19 @@ def register_fragments(pc1: np.ndarray, pc2: np.ndarray,
         ratio_aligned=(ra1, ra2), information=info)
 
 
-def _nn_within(query: np.ndarray, ref: np.ndarray, radius: float,
-               block: int = 2048) -> float:
-    """Fraction of query points whose NN in ref is closer than radius."""
-    hits = 0
-    r2 = radius * radius
-    ref2 = np.sum(ref ** 2, axis=1)
-    for s in range(0, query.shape[0], block):
-        q = query[s:s + block]
-        d2 = (np.sum(q ** 2, 1)[:, None] + ref2[None, :] - 2.0 * q @ ref.T)
-        hits += int(np.count_nonzero(d2.min(axis=1) < r2))
-    return hits / max(query.shape[0], 1)
+def _nn_within(query: np.ndarray, ref: np.ndarray, radius: float) -> float:
+    """Fraction of query points whose NN in ref is closer than radius.
+
+    cKDTree instead of blocked dense distances: full-resolution 3DMatch
+    fragments run to 10^5+ points, where a (2048, N) float64 block is
+    gigabyte-scale per pair."""
+    from scipy.spatial import cKDTree
+
+    if ref.shape[0] == 0 or query.shape[0] == 0:
+        return 0.0
+    d, _ = cKDTree(ref).query(query, k=1, distance_upper_bound=radius)
+    return float(np.count_nonzero(np.isfinite(d) & (d < radius))
+                 / max(query.shape[0], 1))
 
 
 # ---------------------------------------------------- scene-level pipeline ---

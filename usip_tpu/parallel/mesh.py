@@ -45,7 +45,10 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         # initialize() on a plain single-process box raises (by design); a
         # silent swallow would also hide real misconfigurations on pods.
         env_markers = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-                       "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
+                       "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                       # cluster schedulers jax.distributed auto-detects
+                       "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+                       "KUBERNETES_SERVICE_HOST")
         if not any(os.environ.get(m) for m in env_markers):
             logging.getLogger(__name__).info(
                 "initialize_distributed: no coordination environment detected "

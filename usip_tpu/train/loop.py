@@ -35,30 +35,58 @@ def prefetch_batches(loader, device_batch_fn, depth: int = 8):
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
     sentinel = object()
     err = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer abandoned the generator
+        # (truncated test sweeps, snapshot_visuals' single-batch pull) —
+        # otherwise the producer blocks forever holding device-resident
+        # batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def producer():
         try:
             for raw in loader:
+                if stop.is_set():
+                    break
                 for key in ("pc", "src_pc", "anc_pc"):
                     if key in raw:
                         bsz = raw[key].shape[0]
                         break
                 else:
                     bsz = next(iter(raw.values())).shape[0]
-                q.put((device_batch_fn(raw), bsz))
+                if not _put((device_batch_fn(raw), bsz)):
+                    break
         except BaseException as e:  # surface loader errors in the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
+            if hasattr(loader, "close"):
+                loader.close()
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+    finally:
+        stop.set()
+        # drain so a blocked producer can observe the stop flag promptly
+        try:
+            while True:
+                q.get_nowait()
+        except queue_mod.Empty:
+            pass
+        t.join(timeout=30)
     if err:
         raise err[0]
 
@@ -331,7 +359,13 @@ class DetectorEngine:
     def fit_samples(self, epochs: Optional[int] = None):
         """Sample-count cadence (match3d/train_detector.py:71-80,144-173):
         test sweep every test_every_samples (truncated), LR x ratio every
-        lr_decay_samples, best-loss saves only past save_min_samples."""
+        lr_decay_samples, best-loss saves only past save_min_samples.
+
+        Known limitation: the sample counters (total/lr/cadence) are not part
+        of the checkpoint, so resuming restarts them from zero — the LR
+        schedule and test/save cadence then differ from an uninterrupted run
+        (the reference's match3d driver has no resume at all). The epoch-mode
+        ``fit`` path resumes exactly."""
         tcfg = self.cfg.train
         epochs = epochs or tcfg.epochs
         total = 0
@@ -357,6 +391,17 @@ class DetectorEngine:
                     host["total_samples"] = float(total)
                     self.logger.log(int(self.state.step), epoch, host,
                                     prefix="train")
+                    # same divergence abort as train_epoch: never train on
+                    # NaN weights to completion
+                    if not np.isfinite(host.get("loss", 0.0)):
+                        self._nonfinite_streak += 1
+                        if self._nonfinite_streak >= self.max_nonfinite:
+                            raise FloatingPointError(
+                                f"{self.max_nonfinite} consecutive non-finite "
+                                "losses in fit_samples — aborting (restore "
+                                "the last checkpoint, lower LR)")
+                    else:
+                        self._nonfinite_streak = 0
                 if total >= next_test:
                     next_test += tcfg.test_every_samples
                     test_avg = self.test_sweep_truncated(
