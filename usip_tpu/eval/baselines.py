@@ -132,6 +132,13 @@ def sift3d_keypoints(pc: np.ndarray, min_scale: float = 0.5,
     between adjacent scales; a point is a keypoint when its DoG value is a
     strict spatial+scale extremum over neighbors within its scale radius and
     ``|DoG| > min_contrast``.
+
+    Performance caveat: the smoothing/extremum loops are per-point Python
+    over every (octave, scale) level — fine for the eval-time cloud sizes the
+    reference feeds PCL baselines on objects/indoor data (<= ~10k points),
+    but O(hours) at 16k-point LiDAR scale. Subsample first (eval protocols
+    rank a few hundred keypoints anyway) or prefer the vectorized ISS/Harris
+    baselines at that scale.
     """
     pc = np.asarray(pc, np.float64)
     field = pc[:, 2]
