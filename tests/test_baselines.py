@@ -101,3 +101,25 @@ def test_sift3d_max_keypoints_and_dispatch(rng):
     kd = baseline_keypoints("sift", pc, min_scale=0.08, n_octaves=1,
                             n_scales_per_octave=3, min_contrast=0.01)
     assert kd.ndim == 2 and kd.shape[1] == 3
+
+
+def test_sift_dispatch_subsamples_large_clouds(rng, caplog):
+    """The export dispatch must not hand a LiDAR-scale cloud to the per-point
+    sift loops — it warns and subsamples above sift_max_points (round-2
+    ADVICE)."""
+    import logging as pylogging
+
+    pc = _bump_plane(rng)
+    with caplog.at_level(pylogging.WARNING, logger="usip_tpu.eval.baselines"):
+        kd = baseline_keypoints("sift", pc, rng, min_scale=0.08, n_octaves=1,
+                                n_scales_per_octave=3, min_contrast=0.01,
+                                sift_max_points=64)
+    assert any("subsampling" in r.message for r in caplog.records)
+    assert kd.ndim == 2 and kd.shape[1] == 3
+    # opting out runs the full cloud without the warning
+    caplog.clear()
+    with caplog.at_level(pylogging.WARNING, logger="usip_tpu.eval.baselines"):
+        baseline_keypoints("sift", pc, rng, min_scale=0.08, n_octaves=1,
+                           n_scales_per_octave=3, min_contrast=0.01,
+                           sift_max_points=None)
+    assert not caplog.records

@@ -25,6 +25,19 @@ def test_presets_match_reference_defaults():
     assert x.loss.keypoint_on_pc_alpha == 10.0
 
 
+def test_ball_query_defaults_are_parity_safe():
+    """Default ball query semantics match the reference (exact/fp32); only
+    the A/B-validated LiDAR presets opt into the fast path (round-2 ADVICE)."""
+    for ds in ("scenenn", "match3d", "modelnet"):
+        d = get_config(ds).descriptor
+        assert d.ball_method == "exact", ds
+        assert d.ball_compute_dtype == "float32", ds
+    for ds in ("kitti", "oxford"):
+        d = get_config(ds).descriptor
+        assert d.ball_method == "auto", ds
+        assert d.ball_compute_dtype == "bfloat16", ds
+
+
 def test_unknown_dataset():
     with pytest.raises(KeyError):
         get_config("nope")

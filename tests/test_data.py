@@ -246,6 +246,12 @@ def test_batch_loader_prefetch():
         assert b["src_pc"].shape == (4, 32, 3)
     # second epoch re-iterates
     assert len(list(loader)) == 2
+    # eval mode: drop_last=False visits every item, ragged tail batch of 2
+    full = BatchLoader(ds, batch_size=4, shuffle=False, num_workers=2,
+                       drop_last=False)
+    assert len(full) == 3
+    fb = list(full)
+    assert [b["src_pc"].shape[0] for b in fb] == [4, 4, 2]
 
 
 def test_device_prefetch():

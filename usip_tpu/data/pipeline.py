@@ -47,33 +47,44 @@ class BatchLoader:
 
     Args:
       dataset: indexable with __len__ and __getitem__ -> dict of arrays.
-      batch_size: items per batch (drops the remainder, like the reference's
-        drop_last=True train loaders).
+      batch_size: items per batch.
       shuffle: reshuffle indices each epoch.
       num_workers: item-fetch thread pool size.
       prefetch: max batches buffered ahead.
+      drop_last: True (default) drops the final partial batch like the
+        reference's drop_last=True train loaders; eval/export loaders pass
+        False so EVERY frame is visited (the reference's save_keypoints.py
+        loop exports every frame — a dropped tail frame corrupts the
+        repeatability protocol on non-divisible eval sets).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, prefetch: int = 4, seed: int = 0,
-                 post_collate: Optional[Callable] = None):
+                 post_collate: Optional[Callable] = None,
+                 drop_last: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(num_workers, 1)
         self.prefetch = prefetch
         self.post_collate = post_collate
+        self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.batch_size
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
 
-    def _epoch_indices(self) -> np.ndarray:
+    def _epoch_indices(self) -> list:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(idx)
-        n = len(self) * self.batch_size
-        return idx[:n].reshape(-1, self.batch_size)
+        if self.drop_last:
+            idx = idx[:(len(idx) // self.batch_size) * self.batch_size]
+        return [idx[i:i + self.batch_size]
+                for i in range(0, len(idx), self.batch_size)]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._epoch_indices()

@@ -194,11 +194,24 @@ def sift3d_keypoints(pc: np.ndarray, min_scale: float = 0.5,
     return kp
 
 
+# Above this size, sift3d's per-point Python loops take hours per cloud
+# (see its docstring); the export dispatch subsamples first. Eval protocols
+# only rank a few hundred keypoints, so the subsample is benign.
+SIFT_MAX_POINTS = 8192
+
+
 def baseline_keypoints(method: str, pc: np.ndarray,
                        rng: Optional[np.random.Generator] = None,
                        **kwargs) -> np.ndarray:
     """Dispatch like the reference export tool's method switch
-    (save_keypoints.py:289-325)."""
+    (save_keypoints.py:289-325).
+
+    For ``sift`` on clouds larger than ``sift_max_points`` (default
+    SIFT_MAX_POINTS), the cloud is randomly subsampled first — with a loud
+    warning — so the default LiDAR presets (16k points) don't silently hang
+    for hours in the per-point smoothing loops. Pass
+    ``sift_max_points=None`` to force the full cloud.
+    """
     if method == "random":
         return random_keypoints(rng or np.random.default_rng(), pc,
                                 kwargs.get("num", 128))
@@ -207,5 +220,16 @@ def baseline_keypoints(method: str, pc: np.ndarray,
     if method == "harris":
         return harris3d_keypoints(pc, **kwargs)
     if method == "sift":
+        max_pts = kwargs.pop("sift_max_points", SIFT_MAX_POINTS)
+        if max_pts is not None and pc.shape[0] > max_pts:
+            import logging
+            logging.getLogger(__name__).warning(
+                "sift baseline: subsampling %d -> %d points (per-point "
+                "smoothing loops are O(hours) at this scale; pass "
+                "sift_max_points=None to force the full cloud)",
+                pc.shape[0], max_pts)
+            sel = (rng or np.random.default_rng(0)).choice(
+                pc.shape[0], max_pts, replace=False)
+            pc = pc[np.sort(sel)]
         return sift3d_keypoints(pc, **kwargs)
     raise KeyError(f"unknown baseline method {method!r}")

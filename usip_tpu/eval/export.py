@@ -51,13 +51,30 @@ def ensure_keypoint_number(keypoints: np.ndarray, pc: np.ndarray, num: int,
 
 def select_keypoints(keypoints: np.ndarray, sigmas: np.ndarray, pc: np.ndarray, *,
                      nms_radius: float = 0.0, desired_num: int = 128,
-                     rng: Optional[np.random.Generator] = None) -> np.ndarray:
+                     rng: Optional[np.random.Generator] = None,
+                     return_sigmas: bool = False):
     """Full export post-processing for one frame: NMS -> sort by sigma -> top-K ->
-    ensure count (save_keypoints.py:343-351)."""
+    ensure count (save_keypoints.py:343-351).
+
+    With ``return_sigmas``, also returns the sigma of each *selected* keypoint
+    (row i of the sigmas matches row i of the keypoints even when NMS dropped
+    proposals); pad-from-cloud rows get sigma=inf (maximal uncertainty).
+    """
     kp, sig = nms(keypoints, sigmas, nms_radius)
     order = np.argsort(sig)
-    kp = kp[order][:desired_num]
-    return ensure_keypoint_number(kp, pc, desired_num, rng)
+    kp, sig = kp[order][:desired_num], sig[order][:desired_num]
+    if not return_sigmas:
+        return ensure_keypoint_number(kp, pc, desired_num, rng)
+    rng = rng or np.random.default_rng()
+    k = kp.shape[0]
+    if k > desired_num:
+        sel = rng.choice(k, desired_num, replace=False)
+        return kp[sel], sig[sel]
+    if k < desired_num:
+        extra = pc[rng.choice(pc.shape[0], desired_num - k, replace=False)]
+        kp = np.concatenate([kp, extra], axis=0)
+        sig = np.concatenate([sig, np.full(desired_num - k, np.inf, sig.dtype)])
+    return kp, sig
 
 
 def write_keypoints_bin(path: str, keypoints: np.ndarray) -> None:

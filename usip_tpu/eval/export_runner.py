@@ -58,19 +58,26 @@ def make_eval_dataset(cfg: Config, synthetic: bool = False, seed: int = 0):
     raise KeyError(name)
 
 
-def _place_batch(mesh, num_devices: int, *arrays):
-    """Place host arrays for inference. Under a data mesh the batch axis is
-    sharded across devices (the reference's nn.DataParallel run_model analog,
-    keypoint_detector.py:34-37) — ragged tail batches are padded by repeating
-    the last row, and the true batch size is returned for trimming."""
+def _place_batch(mesh, num_devices: int, *arrays, batch_size: int = 0):
+    """Place host arrays for inference. Ragged tail batches (eval loaders run
+    drop_last=False so every frame is exported, like the reference's
+    save_keypoints.py:276-393 loop) are padded to ``batch_size`` by repeating
+    the last row — one compiled shape, no tail-shape recompile through the
+    slow remote-compile tunnel — and the true batch size is returned for
+    trimming. Under a data mesh the batch axis is additionally sharded across
+    devices (the reference's nn.DataParallel run_model analog,
+    keypoint_detector.py:34-37)."""
     real_b = arrays[0].shape[0]
-    if mesh is None:
-        return tuple(jnp.asarray(a) for a in arrays) + (real_b,)
-    from usip_tpu.parallel import shard_batch
-    pad = (-real_b) % num_devices
+    target = max(batch_size, real_b)
+    if mesh is not None:
+        target += (-target) % num_devices
+    pad = target - real_b
     if pad:
         arrays = tuple(
             np.concatenate([a, np.repeat(a[-1:], pad, axis=0)]) for a in arrays)
+    if mesh is None:
+        return tuple(jnp.asarray(a) for a in arrays) + (real_b,)
+    from usip_tpu.parallel import shard_batch
     return tuple(shard_batch(mesh, np.asarray(a)) for a in arrays) + (real_b,)
 
 
@@ -111,13 +118,14 @@ def run_export_with_descriptors(cfg: Config, detector_checkpoint: str,
 
     ds = dataset if dataset is not None else make_eval_dataset(cfg, synthetic)
     bs = batch_size or cfg.train.batch_size
-    loader = BatchLoader(ds, bs, shuffle=False, num_workers=4)
+    loader = BatchLoader(ds, bs, shuffle=False, num_workers=4, drop_last=False)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(321)
     frames = 0
     nd = cfg.train.num_devices
     for i, raw in enumerate(loader):
-        pc_in, sn_in, real_b = _place_batch(mesh, nd, raw["pc"], raw["sn"])
+        pc_in, sn_in, real_b = _place_batch(mesh, nd, raw["pc"], raw["sn"],
+                                            batch_size=bs)
         kp, sig = infer(state, pc_in, sn_in, jax.random.fold_in(key, 2 * i))
         kp, sig = np.asarray(kp)[:real_b], np.asarray(sig)[:real_b]
         selected = np.stack([
@@ -126,7 +134,8 @@ def run_export_with_descriptors(cfg: Config, detector_checkpoint: str,
                              rng=rng)
             for b in range(kp.shape[0])])
         pc_in, sn_in, kp_in, real_b = _place_batch(mesh, nd, raw["pc"],
-                                                   raw["sn"], selected)
+                                                   raw["sn"], selected,
+                                                   batch_size=bs)
         desc = describe(pc_in, sn_in, kp_in, jax.random.fold_in(key, 2 * i + 1))
         desc = np.asarray(desc)[:real_b]
         for b in range(selected.shape[0]):
@@ -165,7 +174,7 @@ def run_export(cfg: Config, checkpoint: Optional[str], out_dir: str,
 
     ds = dataset if dataset is not None else make_eval_dataset(cfg, synthetic)
     bs = batch_size or cfg.train.batch_size
-    loader = BatchLoader(ds, bs, shuffle=False, num_workers=4)
+    loader = BatchLoader(ds, bs, shuffle=False, num_workers=4, drop_last=False)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(123)
 
@@ -179,7 +188,8 @@ def run_export(cfg: Config, checkpoint: Optional[str], out_dir: str,
                 scale=noise_sigma, size=pc_batch.shape).astype(pc_batch.dtype)
         if method == "model":
             pc_in, sn_in, real_b = _place_batch(mesh, cfg.train.num_devices,
-                                                pc_batch, raw["sn"])
+                                                pc_batch, raw["sn"],
+                                                batch_size=bs)
             kp, sig = infer(state, pc_in, sn_in, jax.random.fold_in(key, i))
             kp, sig = np.asarray(kp)[:real_b], np.asarray(sig)[:real_b]
         if i == 0:

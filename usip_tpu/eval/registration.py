@@ -143,8 +143,10 @@ def evaluate_registration(pairs, threshold: float = 1.0, max_trials: int = 10000
     RRE <= rre_limit; RTE/RRE stats are over successful pairs only
     (evaluate_kitti.m:104-131)."""
     failures = 0
+    total = 0
     rtes, rres, ratios, trials = [], [], [], []
     for i, (anc_kp, anc_desc, pos_kp, pos_desc, T_gt) in enumerate(pairs):
+        total += 1
         matches = match_descriptors_1nn(anc_desc, pos_desc)
         x1 = anc_kp[matches[:, 0]]
         x2 = pos_kp[matches[:, 1]]
@@ -160,7 +162,8 @@ def evaluate_registration(pairs, threshold: float = 1.0, max_trials: int = 10000
         rres.append(rre)
         ratios.append(res.inliers.size / matches.shape[0])
         trials.append(res.trials)
-    total = len(list(pairs)) if not hasattr(pairs, "__len__") else len(pairs)
+    # total counted inside the loop so generator inputs work (a post-loop
+    # len(list(pairs)) would see an exhausted iterator -> total=0)
     n_ok = len(rtes)
     return RegistrationStats(
         success_rate=n_ok / max(total, 1),

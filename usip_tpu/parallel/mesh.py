@@ -54,7 +54,16 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                 "initialize_distributed: no coordination environment detected "
                 "(%s unset); staying single-process", "/".join(env_markers))
             return
-        jax.distributed.initialize()
+        # Markers like SLURM_JOB_ID/KUBERNETES_SERVICE_HOST are set for ANY
+        # job in those environments, including single-process ones with no
+        # coordinator — degrade gracefully (but loudly) instead of raising.
+        try:
+            jax.distributed.initialize()
+        except Exception as exc:  # noqa: BLE001 - warn-and-continue by design
+            logging.getLogger(__name__).warning(
+                "initialize_distributed: auto-detect initialize() failed (%s); "
+                "continuing single-process. Pass coordinator_address/"
+                "num_processes/process_id explicitly for multi-host runs.", exc)
     else:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,

@@ -92,10 +92,13 @@ def sharded_describe(mesh: Mesh, cfg: Config, variables, pc: Array, sn: Array,
         global_desc = jnp.max(desc, axis=-2, keepdims=True)
         fusion = jnp.concatenate(
             [desc, jnp.broadcast_to(global_desc, desc.shape)], axis=-1)
+        # fc1/fc2 are built WITHOUT dtype in the single-chip model, i.e.
+        # always fp32 (models/descriptor.py:80-85) — match that here
         z = _apply_layer(cfg, variables, "fc1", fusion, features=2 * d,
-                         activation=act, normalization=norm)
+                         activation=act, normalization=norm,
+                         compute_dtype=False)
         z = _apply_layer(cfg, variables, "fc2", z, features=d, activation=act,
-                         normalization=norm)
+                         normalization=norm, compute_dtype=False)
         desc = _apply_layer(cfg, variables, "fc3", z, features=d,
                             activation=None, normalization=None,
                             compute_dtype=False)
