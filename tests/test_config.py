@@ -23,6 +23,12 @@ def test_presets_match_reference_defaults():
     assert s.loss.cgf_radius == 0.075
     x = get_config("match3d")
     assert x.loss.keypoint_on_pc_alpha == 10.0
+    # parent-cloud wire mode on every fixed-frame-tree preset (round-3):
+    # kitti/oxford since round 2, scenenn/match3d join with fp32 wire
+    for ds in ("kitti", "oxford", "scenenn", "match3d"):
+        d = get_config(ds).data
+        assert d.device_sampling and d.parent_pc_num >= d.input_pc_num, ds
+    assert get_config("scenenn").data.wire_dtype == "float32"
 
 
 def test_ball_query_defaults_are_parity_safe():

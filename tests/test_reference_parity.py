@@ -101,6 +101,145 @@ def test_detector_parity_vs_reference_source():
     assert sg_diff.max() < 1e-3, sg_diff.max()
 
 
+@pytest.mark.parametrize("grouping", ["ball", "knn"])
+def test_group_detector_parity_vs_reference_source(grouping):
+    """RPN_Detector_Ball (the released Oxford BALL-16384-512-r2k64-k16
+    model's net, networks.py:611-738) and RPN_Detector_KNN (:482-608) vs our
+    grouped trunk under exported weights. The reference hardcodes C1=128,
+    C2=512, K=64, radius=2 (networks.py:563,691-692) so the test runs those
+    widths at reduced N."""
+    cfg = _cfg(**{"detector.grouping": grouping, "detector.c1": 128,
+                  "detector.c2": 512, "detector.group_k": 64,
+                  "detector.group_radius": 2.0, "detector.node_knn_k": 16})
+    rng = np.random.default_rng(3)
+    b, n, m = 2, cfg.data.input_pc_num, cfg.data.node_num
+    pc = rng.normal(size=(b, n, 3)).astype(np.float32)
+    sn = rng.normal(size=(b, n, 4)).astype(np.float32)
+    node = pc[:, :m].copy()
+
+    model = Detector(cfg.detector)
+    variables = model.init(jax.random.PRNGKey(0), pc, sn, node, train=False)
+    anchors, kp, sg = model.apply(variables, pc, sn, node, train=False)
+
+    net = rr.build_reference_detector(cfg, REFERENCE, variables)
+    with torch.no_grad():
+        r_anchor, r_kp, r_sg, _ = net(
+            torch.as_tensor(pc.transpose(0, 2, 1)),
+            torch.as_tensor(sn.transpose(0, 2, 1)),
+            torch.as_tensor(node.transpose(0, 2, 1)),
+            is_train=False, epoch=None)
+
+    # grouped variants return the input nodes as anchors (networks.py:604,734)
+    np.testing.assert_array_equal(np.asarray(anchors),
+                                  r_anchor.numpy().transpose(0, 2, 1))
+    kp_diff = np.abs(np.asarray(kp) - r_kp.numpy().transpose(0, 2, 1))
+    sg_diff = np.abs(np.asarray(sg) - r_sg.numpy())
+    assert np.median(kp_diff) < 1e-5
+    assert kp_diff.max() < 1e-2, kp_diff.max()
+    assert sg_diff.max() < 1e-3, sg_diff.max()
+
+
+def test_export_protocol_interop_roundtrip(tmp_path):
+    """Protocol-level interop of the eval tooling (round-2 VERDICT ask #3):
+    drive the reference's OWN export post-processing (nms + sigma-ranking +
+    count enforcement, save_keypoints.py:180-227,343-351, AST-extracted and
+    executed verbatim) to write .bin trees; evaluate them with our
+    repeatability runner; export the same detector outputs with our tool and
+    cross-evaluate. The trees must be byte-identical and every direction must
+    produce the same repeatability."""
+    from usip_tpu.eval.eval_runner import run_repeatability
+    from usip_tpu.eval.export import select_keypoints, write_keypoints_bin
+    from usip_tpu.eval.repeatability import apply_transform
+
+    ref_nms, ref_ensure = rr.load_reference_export_fns(REFERENCE)
+    rng = np.random.default_rng(7)
+    nms_radius, desired = 0.3, 32
+    ours_root = tmp_path / "ours"
+    ref_root = tmp_path / "ref"
+    gt = []
+    for i in range(3):
+        # synthetic detector outputs: proposals + sigmas for an anc/pos pair
+        # related by a known rigid transform (plenty of proposals so the
+        # sigma-ranking trim path is exercised, not the random pad)
+        pc_anc = rng.normal(size=(256, 3)).astype(np.float32) * 3
+        kp_anc = pc_anc[rng.choice(256, 128, replace=False)]
+        sig_anc = rng.uniform(0.05, 1.0, size=128).astype(np.float32)
+        theta = rng.uniform(0, 2 * np.pi)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[np.cos(theta), -np.sin(theta), 0],
+                              [np.sin(theta), np.cos(theta), 0], [0, 0, 1]])
+        T[:3, 3] = rng.normal(size=3)
+        pc_pos = apply_transform(pc_anc, np.linalg.inv(T)).astype(np.float32)
+        kp_pos = apply_transform(kp_anc, np.linalg.inv(T)).astype(np.float32)
+        sig_pos = rng.uniform(0.05, 1.0, size=128).astype(np.float32)
+        gt.append({"seq": 0, "anc_idx": 2 * i, "pos_idx": 2 * i + 1,
+                   "T_gt": T})
+
+        for idx, (kp, sig, pc) in (
+                (2 * i, (kp_anc, sig_anc, pc_anc)),
+                (2 * i + 1, (kp_pos, sig_pos, pc_pos))):
+            # ours: the framework's export post-processing
+            sel = select_keypoints(kp, sig, pc, nms_radius=nms_radius,
+                                   desired_num=desired, rng=rng)
+            write_keypoints_bin(str(ours_root / "00" / f"{idx}.bin"), sel)
+            # reference: its own nms -> sigma argsort -> top-K -> ensure
+            # (save_keypoints.py:343-351)
+            r_kp, r_sig = ref_nms(kp.copy(), sig.copy(), nms_radius)
+            order = np.argsort(r_sig)[:desired]
+            r_kp = r_kp[order]
+            r_kp = ref_ensure(r_kp, pc, desired)
+            os.makedirs(str(ref_root / "00"), exist_ok=True)
+            r_kp.astype(np.float32).tofile(str(ref_root / "00" / f"{idx}.bin"))
+
+    # byte-identical exports
+    for f in sorted(os.listdir(str(ours_root / "00"))):
+        a = (ours_root / "00" / f).read_bytes()
+        b = (ref_root / "00" / f).read_bytes()
+        assert a == b, f"export mismatch at {f}"
+
+    # cross-evaluation: every direction yields the same repeatability
+    m_ours, _ = run_repeatability(str(ours_root), str(ours_root), gt,
+                                  inlier_radius=0.5)
+    m_ref, _ = run_repeatability(str(ref_root), str(ref_root), gt,
+                                 inlier_radius=0.5)
+    m_cross, _ = run_repeatability(str(ref_root), str(ours_root), gt,
+                                   inlier_radius=0.5)
+    assert abs(m_ours - m_ref) <= 1e-6
+    assert abs(m_cross - m_ref) <= 1e-6
+    assert 0.0 < m_ref <= 1.0
+
+
+def test_reference_pad_path_protocol(tmp_path):
+    """The pad-from-cloud branch (fewer survivors than desired): both
+    implementations fill from cloud points — selection is random so bytes
+    differ, but the protocol contract (count, survivor prefix, pad source)
+    must match."""
+    from usip_tpu.eval.export import select_keypoints
+
+    ref_nms, ref_ensure = rr.load_reference_export_fns(REFERENCE)
+    rng = np.random.default_rng(11)
+    # two tight clusters -> aggressive NMS keeps exactly 2 survivors
+    base = np.array([[0.0, 0, 0], [8.0, 0, 0]], np.float32)
+    kp = np.concatenate([base + rng.normal(scale=0.01, size=(2, 3)).astype(np.float32)
+                         for _ in range(6)])
+    sig = np.arange(12).astype(np.float32)
+    pc = rng.normal(size=(64, 3)).astype(np.float32) + 30.0
+    desired = 8
+
+    ours = select_keypoints(kp, sig, pc, nms_radius=2.0, desired_num=desired,
+                            rng=rng)
+    r_kp, r_sig = ref_nms(kp.copy(), sig.copy(), 2.0)
+    r_kp = r_kp[np.argsort(r_sig)[:desired]]
+    np.random.seed(0)
+    ref = ref_ensure(r_kp, pc, desired)
+
+    assert ours.shape == ref.shape == (desired, 3)
+    np.testing.assert_allclose(ours[:2], ref[:2])  # same survivors, same order
+    cloud_set = {tuple(p) for p in pc}
+    for row in list(ours[2:]) + list(ref[2:]):
+        assert tuple(row) in cloud_set  # pads come from the cloud
+
+
 def test_descriptor_parity_vs_reference_source(monkeypatch):
     cfg = _cfg()
     rng = np.random.default_rng(2)

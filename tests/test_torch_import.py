@@ -49,6 +49,47 @@ def test_detector_roundtrip():
     _assert_tree_equal(v["batch_stats"], v2["batch_stats"])
 
 
+def _group_detector_vars(grouping="ball", c1=16, c2=32, seed=0):
+    cfg = DetectorConfig(grouping=grouping, c1=c1, c2=c2, node_knn_k=4,
+                         group_k=8, group_radius=2.0, surface_normal_len=3,
+                         compute_dtype="float32")
+    model = Detector(cfg)
+    return model.init(jax.random.PRNGKey(seed), jnp.zeros((2, 64, 3)),
+                      jnp.zeros((2, 64, 3)), jnp.zeros((2, 8, 3)), train=False)
+
+
+def test_group_detector_roundtrip():
+    """RPN_Detector_Ball/KNN family (networks.py:482-738): conv1..5 trunk +
+    shared knnlayer/head, auto-detected from the checkpoint keys."""
+    from usip_tpu.train.torch_import import detect_detector_family
+
+    v = _group_detector_vars("ball")
+    sd = export_detector_state_dict(v)
+    # grouped trunk exports MyConv2d-shaped kernels (O, I, 1, 1)
+    assert sd["conv1.conv.weight"].ndim == 4
+    assert "first_pointnet.layers.0.conv.weight" not in sd
+    assert detect_detector_family(sd) == "group"
+    assert detect_detector_family(
+        export_detector_state_dict(_detector_vars())) == "som"
+    v2 = convert_detector_state_dict(sd, _group_detector_vars("ball", seed=1))
+    _assert_tree_equal(v["params"], v2["params"])
+    _assert_tree_equal(v["batch_stats"], v2["batch_stats"])
+    # the knn variant shares the exact state_dict layout
+    v3 = convert_detector_state_dict(sd, _group_detector_vars("knn", seed=2))
+    _assert_tree_equal(v["params"], v3["params"])
+
+
+def test_detector_family_mismatch_is_actionable():
+    """Feeding the released ball checkpoint to a som-preset model (or vice
+    versa) raises an error naming the grouping override to use."""
+    group_sd = export_detector_state_dict(_group_detector_vars("ball"))
+    with pytest.raises(ValueError, match="detector.grouping=ball"):
+        convert_detector_state_dict(group_sd, _detector_vars())
+    som_sd = export_detector_state_dict(_detector_vars())
+    with pytest.raises(ValueError, match="detector.grouping=som"):
+        convert_detector_state_dict(som_sd, _group_detector_vars("ball"))
+
+
 def test_detector_import_data_parallel_prefix():
     v = _detector_vars()
     sd = {f"module.{k}": val for k, val in export_detector_state_dict(v).items()}

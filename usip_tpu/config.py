@@ -334,7 +334,12 @@ def _kitti_preset() -> Config:
 def _scenenn_preset() -> Config:
     """SceneNN indoor detector (reference scenenn/options_detector.py)."""
     return Config(
-        data=DataConfig(dataset="scenenn", input_pc_num=10240, node_num=512),
+        # device_sampling: indoor frames are modest fixed trees — ship one
+        # 12288-pt parent (fp32 wire; indoor coords need the precision) and
+        # draw both siamese subsamples on device, the same lever that took
+        # kitti 120->172 clouds/s (PERFORMANCE.md engine section)
+        data=DataConfig(dataset="scenenn", input_pc_num=10240, node_num=512,
+                        device_sampling=True, parent_pc_num=12288),
         detector=DetectorConfig(
             grouping="som", c1=128, c2=512, node_knn_k=32,
             surface_normal_len=4, sigma_lower_bound=1e-4,
@@ -354,7 +359,9 @@ def _scenenn_preset() -> Config:
 def _match3d_preset() -> Config:
     """3DMatch detector (reference match3d/options_detector.py)."""
     return Config(
-        data=DataConfig(dataset="match3d", input_pc_num=10240, node_num=512),
+        # device_sampling: same parent-cloud wire lever as scenenn/kitti
+        data=DataConfig(dataset="match3d", input_pc_num=10240, node_num=512,
+                        device_sampling=True, parent_pc_num=12288),
         detector=DetectorConfig(
             grouping="som", c1=128, c2=512, node_knn_k=32,
             surface_normal_len=4, sigma_lower_bound=1e-4,

@@ -147,17 +147,54 @@ def make_reference_opt(cfg, **overrides: Any):
 
 def build_reference_detector(cfg, reference_root: str,
                              variables: Optional[Any] = None):
-    """Instantiate the reference ``RPN_Detector`` on CPU; when ``variables``
-    (our flax tree) is given, load our exported weights into it (strict)."""
+    """Instantiate the reference detector matching ``cfg.detector.grouping``
+    on CPU — ``RPN_Detector`` (som), ``RPN_Detector_KNN`` (knn,
+    networks.py:482-608) or ``RPN_Detector_Ball`` (ball, networks.py:611-738;
+    the released Oxford BALL-16384-512-r2k64-k16 model's net). When
+    ``variables`` (our flax tree) is given, load our exported weights into it
+    (strict)."""
     torch = _torch()
     networks = load_reference_networks(reference_root)
-    net = networks.RPN_Detector(make_reference_opt(cfg))
+    cls = {"som": networks.RPN_Detector,
+           "knn": networks.RPN_Detector_KNN,
+           "ball": networks.RPN_Detector_Ball}[cfg.detector.grouping]
+    net = cls(make_reference_opt(cfg))
     if variables is not None:
         from usip_tpu.train.torch_import import export_detector_state_dict
         sd = {k: torch.as_tensor(np.ascontiguousarray(v))
               for k, v in export_detector_state_dict(variables).items()}
         net.load_state_dict(sd, strict=True)
     return net.eval()
+
+
+def load_reference_export_fns(reference_root: str):
+    """Load the reference export tool's post-processing — ``nms`` (greedy
+    sigma-ascending suppression, save_keypoints.py:180-216) and
+    ``ensure_keypoint_number`` (random subsample / pad-from-cloud, :219-227)
+    — as callables executing the reference's OWN code.
+
+    ``evaluation/save_keypoints.py`` runs heavy module-level code at import
+    (matplotlib TkAgg, per-dataset option parsing, ``import PCLKeypoint``),
+    so the two pure functions are extracted from its AST and exec'd in a
+    minimal numpy namespace instead of importing the module. Returns
+    ``(nms, ensure_keypoint_number)``.
+    """
+    import ast
+
+    path = os.path.join(reference_root, "evaluation", "save_keypoints.py")
+    with open(path) as f:
+        tree = ast.parse(f.read(), filename=path)
+    wanted = {"nms", "ensure_keypoint_number"}
+    module = ast.Module(
+        body=[n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name in wanted],
+        type_ignores=[])
+    ns: dict = {"np": np}
+    exec(compile(module, path, "exec"), ns)  # noqa: S102 - reference code, read-only checkout
+    missing = wanted - ns.keys()
+    if missing:
+        raise RuntimeError(f"functions {missing} not found in {path}")
+    return ns["nms"], ns["ensure_keypoint_number"]
 
 
 def build_reference_descriptor(cfg, reference_root: str,

@@ -89,6 +89,39 @@ _DETECTOR_LAYOUT: Tuple[Tuple[str, str, str], ...] = (
     ("mlp3", "head", "mlp3"),
 )
 
+# RPN_Detector_KNN / RPN_Detector_Ball (networks.py:482-608, 611-738): the
+# grouped trunk is conv1..conv5 (MyConv2d) instead of the two PointNets; the
+# fusion layer and head are shared with the SOM variant. The two groupings
+# have IDENTICAL state_dict keys — only the config's detector.grouping
+# ('knn' vs 'ball') distinguishes them (e.g. the released Oxford model path
+# BALL-16384-512-r2k64-k16, evaluation/save_keypoints.py:38, is ball).
+_GROUP_DETECTOR_LAYOUT: Tuple[Tuple[str, str, str], ...] = (
+    tuple((f"conv{i}", f"conv{i}", "") for i in range(1, 6)) + (
+        ("knnlayer_1.layers_before.0", "knnlayer", "before0"),
+        ("knnlayer_1.layers_before.1", "knnlayer", "before1"),
+        ("knnlayer_1.layers_before.2", "knnlayer", "before2"),
+        ("knnlayer_1.layers_after.0", "knnlayer", "after0"),
+        ("knnlayer_1.layers_after.1", "knnlayer", "after1"),
+        ("mlp1", "head", "mlp1"),
+        ("mlp2", "head", "mlp2"),
+        ("mlp3", "head", "mlp3"),
+    ))
+
+
+def detect_detector_family(state_dict: Mapping[str, Any]) -> str:
+    """'som' for RPN_Detector(/Lite) checkpoints, 'group' for the
+    RPN_Detector_KNN / RPN_Detector_Ball family (indistinguishable from keys
+    alone — pick 'knn' or 'ball' from how the model was trained)."""
+    sd = strip_data_parallel(state_dict)
+    if "first_pointnet.layers.0.conv.weight" in sd:
+        return "som"
+    if "conv1.conv.weight" in sd and "knnlayer_1.layers_before.0.conv.weight" in sd:
+        return "group"
+    raise ValueError(
+        "unrecognized detector state_dict (neither RPN_Detector's "
+        "first_pointnet.* nor RPN_Detector_KNN/Ball's conv1..5 keys found) — "
+        f"keys start with: {sorted(sd)[:4]}")
+
 _DESCRIPTOR_LAYOUT: Tuple[Tuple[str, str, str], ...] = tuple(
     (f"conv{i}", f"conv{i}", "") for i in range(1, 6))
 
@@ -154,12 +187,26 @@ def _validate_against(variables, params, stats) -> None:
 
 def convert_detector_state_dict(state_dict: Mapping[str, Any],
                                 variables: Mapping[str, Any]) -> Dict[str, Any]:
-    """Reference RPN_Detector(/Lite) state_dict -> our Detector variables.
+    """Reference detector state_dict -> our Detector variables. Handles all
+    four reference detectors: RPN_Detector(/Lite) and the grouped
+    RPN_Detector_KNN/RPN_Detector_Ball family (layout auto-detected from the
+    checkpoint keys).
 
     ``variables`` is a freshly initialized variable tree of the target model
     (provides the expected structure/shapes to validate against).
     """
-    return _convert(state_dict, variables, _DETECTOR_LAYOUT)
+    family = detect_detector_family(state_dict)
+    model_family = "som" if "first_pointnet" in variables["params"] else "group"
+    if family != model_family:
+        want = ("detector.grouping=som" if family == "som" else
+                "detector.grouping=ball (the released Oxford "
+                "BALL-16384-512-r2k64-k16 model; radius 2, K 64) or "
+                "detector.grouping=knn")
+        raise ValueError(
+            f"checkpoint is a {family!r}-family detector but the target model "
+            f"is {model_family!r} — rebuild the config with {want}")
+    layout = _DETECTOR_LAYOUT if family == "som" else _GROUP_DETECTOR_LAYOUT
+    return _convert(state_dict, variables, layout)
 
 
 def convert_descriptor_state_dict(state_dict: Mapping[str, Any],
@@ -176,8 +223,11 @@ def convert_descriptor_state_dict(state_dict: Mapping[str, Any],
 
 def export_detector_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     """Inverse mapping (ours -> reference-named torch-style arrays), used for
-    roundtrip tests and for handing weights back to reference tooling."""
-    return _export(variables, _DETECTOR_LAYOUT)
+    roundtrip tests and for handing weights back to reference tooling. The
+    grouped (knn/ball) trunk is detected from the variable tree."""
+    layout = _DETECTOR_LAYOUT if "first_pointnet" in variables["params"] \
+        else _GROUP_DETECTOR_LAYOUT
+    return _export(variables, layout)
 
 
 def export_descriptor_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
