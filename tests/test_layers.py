@@ -72,6 +72,40 @@ def test_pointwise_layer_init_statistics():
     np.testing.assert_array_equal(np.asarray(v["params"]["dense"]["bias"]), 0.0)
 
 
+def test_split_dense_matches_materialized_concat(rng):
+    """PointwiseLayer on a tuple of parts == PointwiseLayer on their
+    channel-axis concatenation: identical parameter tree (dense/kernel of the
+    full concat width), identical math up to fp summation order
+    (PERFORMANCE.md round-3 MFU lever)."""
+    h = jnp.asarray(rng.normal(size=(2, 6, 4, 16)).astype(np.float32))
+    h_max = jnp.max(h, axis=-2, keepdims=True)
+    layer = PointwiseLayer(24, activation="relu", normalization="batch")
+
+    v_split = layer.init(jax.random.PRNGKey(3), (h_max, h))
+    v_cat = layer.init(jax.random.PRNGKey(3), jnp.concatenate(
+        [jnp.broadcast_to(h_max, h.shape), h], axis=-1))
+    # same tree, same shapes, same init
+    np.testing.assert_array_equal(
+        np.asarray(v_split["params"]["dense"]["kernel"]),
+        np.asarray(v_cat["params"]["dense"]["kernel"]))
+    assert v_split["params"]["dense"]["kernel"].shape == (32, 24)
+
+    y_split = layer.apply(v_split, (h_max, h))
+    y_cat = layer.apply(v_split, jnp.concatenate(
+        [jnp.broadcast_to(h_max, h.shape), h], axis=-1))
+    np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_cat),
+                               atol=1e-5)
+    # train mode: BN stats must see the same activations
+    y_s, var_s = layer.apply(v_split, (h_max, h), True, 0.5,
+                             mutable=["batch_stats"])
+    y_c, var_c = layer.apply(v_split, jnp.concatenate(
+        [jnp.broadcast_to(h_max, h.shape), h], axis=-1), True, 0.5,
+        mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(var_s["batch_stats"]["norm"]["mean"]),
+        np.asarray(var_c["batch_stats"]["norm"]["mean"]), atol=1e-6)
+
+
 def test_shared_mlp_last_layer_linear(rng):
     """PointNet's last layer has no norm/activation (models/layers.py:530-535):
     outputs can be negative."""

@@ -110,3 +110,57 @@ def test_build_modelnet_rotated(tmp_path, rng):
     src = np.load(src_files[0])
     np.testing.assert_allclose(np.linalg.norm(rot[:, 3:6], axis=1),
                                np.linalg.norm(src[:, 3:6], axis=1), atol=1e-5)
+
+
+def test_synthetic_kitti_tree_frame_conventions(tmp_path):
+    """build_synthetic_kitti_tree writes a tree the full kitti protocol can
+    consume: the loaders read it, and GT-transforming a positive frame's
+    cloud (after the cam->velodyne coord fix) lands on the anchor frame's
+    cloud — validating every frame convention (storage=camera, GT=velodyne)
+    end to end."""
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    from usip_tpu.config import get_config
+    from usip_tpu.data.eval_loaders import KittiTestFrames
+    from usip_tpu.data.loaders import KittiDataset
+    from usip_tpu.data.synthetic import build_synthetic_kitti_tree
+    from usip_tpu.eval.eval_runner import (load_kitti_gt_table, make_coord_fix)
+    from usip_tpu.eval.repeatability import apply_transform
+
+    root = str(tmp_path)
+    counts = build_synthetic_kitti_tree(
+        root, frames_per_seq=3, test_frames_per_seq=12, target_points=2048,
+        scan_radius=30.0, spacing=1.5, test_seqs=(9, 10))
+    assert counts[0] == 3 and counts[9] == 12
+
+    cfg = get_config("kitti", **{"data.dataroot": root,
+                                 "data.input_pc_num": 1024,
+                                 "data.parent_pc_num": 2048})
+    train = KittiDataset(cfg.data, "train", sn_len=4)
+    assert len(train) == 27
+    item = train[0]
+    assert item["src_pc"].shape == (1024, 3)
+    assert item["src_sn"].shape == (1024, 4)
+
+    gt = load_kitti_gt_table(os.path.join(root, "kitti-reg-test"), 9)
+    assert gt, "no >=10m pairs generated"
+    frames = KittiTestFrames(
+        cfg.data, txt_root=os.path.join(root, "kitti-reg-test"),
+        numpy_root=os.path.join(root, "data_odometry_velodyne", "numpy"),
+        seqs=(9,), sn_len=4)
+    assert len(frames) > 0
+
+    fix = make_coord_fix("kitti", os.path.join(root, "calib"))
+    row = gt[0]
+    load = lambda idx: np.load(os.path.join(
+        root, "data_odometry_velodyne", "numpy", "09",
+        "np_0.20_20480_r90_sn", f"{idx:06d}.npy"))[:, :3]
+    anc_v = fix(load(row["anc_idx"]), 9)
+    pos_v = fix(load(row["pos_idx"]), 9)
+    pos_in_anc = apply_transform(pos_v, row["T_gt"])
+    # the two scans observe the same persistent world: transformed positive
+    # points must land on anchor geometry (not centimeter-exact — different
+    # world subsets — but far below the 1.5 m frame spacing)
+    d, _ = cKDTree(anc_v).query(pos_in_anc)
+    assert np.median(d) < 0.35, float(np.median(d))

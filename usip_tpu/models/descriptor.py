@@ -64,22 +64,22 @@ class Descriptor(nn.Module):
                                normalization=cfg.normalization, dtype=dt,
                                name=f"conv{i + 1}")(h, train, bn_momentum)
         h_max = jnp.max(h, axis=-2, keepdims=True)             # (B, M, 1, d)
-        y = jnp.concatenate([h, jnp.broadcast_to(h_max, h.shape)], axis=-1)
+        # virtual concat [h, broadcast(h_max)] via the split-kernel layer
         y = PointwiseLayer(d, activation=cfg.activation,
                            normalization=cfg.normalization, dtype=dt,
-                           name="conv4")(y, train, bn_momentum)
+                           name="conv4")((h, h_max), train, bn_momentum)
         y = PointwiseLayer(d, activation=None, normalization=None,
                            name="conv5")(y)
         desc = jnp.max(y, axis=-2).astype(jnp.float32)         # (B, M, d)
 
         if cfg.use_global_context:
-            # PPFNet global fusion (networks.py:471-475)
+            # PPFNet global fusion (networks.py:471-475); virtual concat
+            # [desc, broadcast(global_desc)] via the split-kernel layer
             global_desc = jnp.max(desc, axis=-2, keepdims=True)   # (B, 1, d)
-            fusion = jnp.concatenate(
-                [desc, jnp.broadcast_to(global_desc, desc.shape)], axis=-1)
             z = PointwiseLayer(2 * d, activation=cfg.activation,
                                normalization=cfg.normalization,
-                               name="fc1")(fusion, train, bn_momentum)
+                               name="fc1")((desc, global_desc), train,
+                                           bn_momentum)
             z = PointwiseLayer(d, activation=cfg.activation,
                                normalization=cfg.normalization,
                                name="fc2")(z, train, bn_momentum)

@@ -71,7 +71,10 @@ class KNNFusionOnNodes(nn.Module):
                                dtype=self.dtype,
                                name=f"before{i}")(h, train, bn_momentum)
         h_max = jnp.max(h, axis=-2, keepdims=True)             # (B, M, 1, C')
-        y = jnp.concatenate([jnp.broadcast_to(h_max, h.shape), h], axis=-1)
+        # virtual concat [broadcast(h_max), h]: the split-kernel layer runs
+        # the h_max half once instead of K times and never materializes the
+        # (B, M, K, 2C') tensor (-18% block FLOPs, PERFORMANCE.md MFU section)
+        y = (h_max, h)
         for i, c in enumerate(self.features_after):
             y = PointwiseLayer(c, activation=self.activation,
                                normalization=self.normalization,
@@ -202,7 +205,7 @@ class Detector(nn.Module):
                                normalization=cfg.normalization, dtype=dt,
                                name=f"conv{i + 1}")(h, train, bn_momentum)
         h_max = jnp.max(h, axis=-2, keepdims=True)
-        y = jnp.concatenate([h, jnp.broadcast_to(h_max, h.shape)], axis=-1)
+        y = (h, h_max)  # virtual concat [h, broadcast(h_max)] (split kernel)
         for i in range(3, 5):  # conv4, conv5, with act+norm
             y = PointwiseLayer(c1, activation=cfg.activation,
                                normalization=cfg.normalization, dtype=dt,

@@ -111,12 +111,49 @@ class BatchNorm(nn.Module):
         return (y * scale + bias).astype(x.dtype)
 
 
+class _SplitDense(nn.Module):
+    """Dense over a *virtual concatenation* of parts without materializing it:
+    the kernel is split at the concat boundaries and each part gets its own
+    matmul, summed with broadcasting. A part with a singleton spatial axis
+    (e.g. a per-group max (B, M, 1, C) next to features (B, M, K, C)) is thus
+    multiplied ONCE instead of K times, and the (B, M, K, sum C) concat tensor
+    never hits HBM. Parameter names/shapes/init are identical to ``nn.Dense``
+    on the concatenation, so checkpoints and the torch importer see no
+    difference (kernel row order == concat channel order)."""
+
+    features: int
+    splits: Sequence[int]
+    kernel_init: nn.initializers.Initializer = HE_NORMAL
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, parts) -> Array:
+        cin = sum(self.splits)
+        kernel = self.param("kernel", self.kernel_init,
+                            (cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        dt = self.dtype or jnp.float32
+        off = 0
+        total = None
+        for p, w in zip(parts, self.splits):
+            y = p.astype(dt) @ kernel[off:off + w].astype(dt)
+            total = y if total is None else total + y
+            off += w
+        return total + bias.astype(dt)
+
+
 class PointwiseLayer(nn.Module):
     """Dense + optional norm + optional activation over the channel axis.
 
     The TPU-native form of ``EquivariantLayer`` (models/layers.py:248-303) and
     ``MyConv2d`` with 1x1 kernels (models/layers.py:172-216): operating channels-last,
     a 1x1 conv over (B, C, N) or (B, C, M, K) is exactly a Dense on (..., C).
+
+    ``x`` may be a tuple of parts, which is treated as their channel-axis
+    concatenation but computed via ``_SplitDense`` (split kernel, broadcasting
+    partial matmuls) — the fusion-stage layout lever (PERFORMANCE.md
+    round-3 MFU section). Same parameter tree either way.
     """
 
     features: int
@@ -129,11 +166,17 @@ class PointwiseLayer(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False,
+    def __call__(self, x, train: bool = False,
                  bn_momentum: Array | float = 0.1) -> Array:
-        y = nn.Dense(self.features, kernel_init=self.kernel_init,
-                     bias_init=nn.initializers.zeros, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="dense")(x)
+        if isinstance(x, (tuple, list)):
+            y = _SplitDense(self.features,
+                            tuple(int(p.shape[-1]) for p in x),
+                            kernel_init=self.kernel_init, dtype=self.dtype,
+                            name="dense")(x)
+        else:
+            y = nn.Dense(self.features, kernel_init=self.kernel_init,
+                         bias_init=nn.initializers.zeros, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="dense")(x)
         if self.normalization == "batch":
             y = BatchNorm(self.features, axis_name=self.axis_name,
                           name="norm")(

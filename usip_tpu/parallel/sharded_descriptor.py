@@ -81,21 +81,21 @@ def sharded_describe(mesh: Mesh, cfg: Config, variables, pc: Array, sn: Array,
         h = _apply_layer(cfg, variables, f"conv{i + 1}", h, features=c,
                          activation=act, normalization=norm)
     h_max = jnp.max(h, axis=-2, keepdims=True)
-    y = jnp.concatenate([h, jnp.broadcast_to(h_max, h.shape)], axis=-1)
-    y = _apply_layer(cfg, variables, "conv4", y, features=d, activation=act,
-                     normalization=norm)
+    # virtual concat (split kernel) exactly like the single-chip model —
+    # in bf16 the split and materialized forms round differently, so the
+    # same form is required for bit parity
+    y = _apply_layer(cfg, variables, "conv4", (h, h_max), features=d,
+                     activation=act, normalization=norm)
     y = _apply_layer(cfg, variables, "conv5", y, features=d, activation=None,
                      normalization=None, compute_dtype=False)
     desc = jnp.max(y, axis=-2).astype(jnp.float32)
 
     if dcfg.use_global_context:
         global_desc = jnp.max(desc, axis=-2, keepdims=True)
-        fusion = jnp.concatenate(
-            [desc, jnp.broadcast_to(global_desc, desc.shape)], axis=-1)
         # fc1/fc2 are built WITHOUT dtype in the single-chip model, i.e.
         # always fp32 (models/descriptor.py:80-85) — match that here
-        z = _apply_layer(cfg, variables, "fc1", fusion, features=2 * d,
-                         activation=act, normalization=norm,
+        z = _apply_layer(cfg, variables, "fc1", (desc, global_desc),
+                         features=2 * d, activation=act, normalization=norm,
                          compute_dtype=False)
         z = _apply_layer(cfg, variables, "fc2", z, features=d, activation=act,
                          normalization=norm, compute_dtype=False)
