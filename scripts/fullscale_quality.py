@@ -1,0 +1,144 @@
+"""Full-scale quality run: train the ACTUAL kitti preset (N=16384, M=512,
+c1=128/c2=512, bf16 + bucketed-FPS defaults, device_sampling) on a synthetic
+KITTI-style disk tree, export keypoints with the export tool, and run the full
+kitti repeatability protocol including the cam->velodyne --coord-fix; A/B the
+bf16 + bucketed-FPS inference defaults against fp32/exact at this scale
+(round-2 VERDICT ask #4).
+
+Phases (run separately so the long train can sit in the background):
+
+  python scripts/fullscale_quality.py gen    --root /tmp/synth_kitti
+  python scripts/fullscale_quality.py train  --root /tmp/synth_kitti --epochs 40
+  python scripts/fullscale_quality.py eval   --root /tmp/synth_kitti
+
+``eval`` prints one JSON line with repeatability for: trained/defaults,
+trained/fp32+exact-FPS, untrained/defaults, random keypoints.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+
+
+def phase_gen(args):
+    from usip_tpu.data.synthetic import build_synthetic_kitti_tree
+    counts = build_synthetic_kitti_tree(
+        args.root, frames_per_seq=args.frames, test_frames_per_seq=args.test_frames,
+        spacing=1.5, seed=0)
+    print(json.dumps({"phase": "gen", "root": args.root, "counts": counts}))
+
+
+def _cfg(args, **extra):
+    from usip_tpu.config import get_config
+    over = {"data.dataroot": args.root, "train.batch_size": 8,
+            "train.checkpoint_dir": os.path.join(args.root, "ckpt"),
+            "train.name": "fullscale"}
+    over.update(extra)
+    return get_config("kitti", **over)
+
+
+def phase_train(args):
+    from usip_tpu.cli import main as cli_main
+    argv = ["train-detector", "--dataset", "kitti", "--dataroot", args.root,
+            "--name", "fullscale", "--epochs", str(args.epochs),
+            "--checkpoints-dir", os.path.join(args.root, "ckpt"),
+            "--override", "train.log_every=20"]
+    cli_main(argv)
+
+
+def _export_and_rep(cfg, checkpoint, out_dir, gt, calib_root, rng_seed=0,
+                    desired=128, inlier_radius=0.5):
+    import jax
+
+    from usip_tpu.data.eval_loaders import KittiTestFrames
+    from usip_tpu.eval.eval_runner import make_coord_fix, run_repeatability
+    from usip_tpu.eval.export_runner import run_export
+
+    sn = cfg.detector.surface_normal_len
+    ds = KittiTestFrames(
+        cfg.data, txt_root=os.path.join(cfg.data.dataroot, "kitti-reg-test"),
+        numpy_root=os.path.join(cfg.data.dataroot, "data_odometry_velodyne",
+                                "numpy"), seqs=(9, 10), sn_len=sn,
+        seed=rng_seed)
+    stats = run_export(cfg, checkpoint, out_dir, desired_num=desired,
+                       dataset=ds, method="model" if checkpoint else "random")
+    fix = make_coord_fix("kitti", calib_root)
+    mean, arr = run_repeatability(out_dir, out_dir, gt,
+                                  inlier_radius=inlier_radius, coord_fix=fix)
+    return {"frames": stats["frames"], "repeatability": float(mean),
+            "pairs": len(arr)}
+
+
+def phase_eval(args):
+    from usip_tpu.eval.eval_runner import load_kitti_gt_table
+    from usip_tpu.train.checkpoint import save_checkpoint
+    from usip_tpu.train.loop import init_detector_state
+
+    gt = []
+    for seq in (9, 10):
+        gt.extend(load_kitti_gt_table(
+            os.path.join(args.root, "kitti-reg-test"), seq))
+    calib_root = os.path.join(args.root, "calib")
+    ckpt = os.path.join(args.root, "ckpt", "fullscale", "best.msgpack")
+    if not os.path.exists(ckpt):
+        ckpt = os.path.join(args.root, "ckpt", "fullscale", "last.msgpack")
+
+    results = {"phase": "eval", "pairs": len(gt)}
+
+    # 1. trained model, shipped defaults (bf16 trunk, bucketed FPS t=2)
+    cfg = _cfg(args)
+    results["trained_defaults"] = _export_and_rep(
+        cfg, ckpt, os.path.join(args.root, "kp_default"), gt, calib_root)
+
+    # 2. trained model, fp32 + exact FPS (the parity-exact inference path)
+    cfg_exact = _cfg(args, **{"detector.compute_dtype": "float32",
+                              "data.fps_parallel": 1})
+    results["trained_fp32_exact"] = _export_and_rep(
+        cfg_exact, ckpt, os.path.join(args.root, "kp_exact"), gt, calib_root)
+
+    # 3. untrained (random-init) detector, defaults — the learning delta
+    cfg_u = _cfg(args)
+    _, state = init_detector_state(cfg_u, seed=123)
+    upath = os.path.join(args.root, "ckpt", "untrained.msgpack")
+    save_checkpoint(upath, state)
+    results["untrained_defaults"] = _export_and_rep(
+        cfg_u, upath, os.path.join(args.root, "kp_untrained"), gt, calib_root)
+
+    # 4. random keypoints baseline
+    results["random_keypoints"] = _export_and_rep(
+        _cfg(args), None, os.path.join(args.root, "kp_random"), gt,
+        calib_root)
+
+    d = results["trained_defaults"]["repeatability"]
+    e = results["trained_fp32_exact"]["repeatability"]
+    results["default_vs_exact_delta"] = d - e
+    print(json.dumps(results))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="phase", required=True)
+    g = sub.add_parser("gen")
+    g.add_argument("--root", default="/tmp/synth_kitti")
+    g.add_argument("--frames", type=int, default=48)
+    g.add_argument("--test-frames", type=int, default=36)
+    g.set_defaults(fn=phase_gen)
+    t = sub.add_parser("train")
+    t.add_argument("--root", default="/tmp/synth_kitti")
+    t.add_argument("--epochs", type=int, default=40)
+    t.set_defaults(fn=phase_train)
+    e = sub.add_parser("eval")
+    e.add_argument("--root", default="/tmp/synth_kitti")
+    e.set_defaults(fn=phase_eval)
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

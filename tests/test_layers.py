@@ -115,3 +115,69 @@ def test_shared_mlp_last_layer_linear(rng):
     y = np.asarray(mlp.apply(v, x, train=False))
     assert (y < 0).any()
     assert y.shape == (2, 16, 8)
+
+
+def test_point_resnet_skip_and_linear_tail(rng):
+    """PointResNet (models/layers.py:547-589): layer0's output feeds the last
+    layer's concat input; the last layer is linear."""
+    from usip_tpu.nn import PointResNet
+
+    net = PointResNet((8, 8, 8, 6), activation="relu", normalization="batch")
+    x = jnp.asarray(rng.normal(size=(2, 16, 4)).astype(np.float32))
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+    # last layer's kernel input width = layer0_out + previous = 8 + 8
+    assert v["params"]["layer3"]["dense"]["kernel"].shape == (16, 6)
+    assert "norm" not in v["params"]["layer3"]  # linear tail
+    y = np.asarray(net.apply(v, x, train=False))
+    assert y.shape == (2, 16, 6)
+    assert (y < 0).any()
+
+
+def test_knn_group_modules(rng):
+    """KNNModule/KNNFusionModule (models/layers.py:306-372,443-521): center
+    types, shapes, and the precomputed-index path."""
+    from usip_tpu.nn import KNNFusionGroupModule, KNNGroupModule
+
+    coord = jnp.asarray(rng.normal(size=(2, 24, 3)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 24, 5)).astype(np.float32))
+
+    mod = KNNGroupModule((8, 8), k=4, center_type="center",
+                         normalization=None)
+    v = mod.init(jax.random.PRNGKey(0), coord, x)
+    center, feat = mod.apply(v, coord, x)
+    assert center.shape == (2, 24, 3) and feat.shape == (2, 24, 8)
+    np.testing.assert_allclose(np.asarray(center), np.asarray(coord))
+
+    avg = KNNGroupModule((8,), k=4, center_type="avg", normalization=None)
+    v2 = avg.init(jax.random.PRNGKey(0), coord, x)
+    center2, _ = avg.apply(v2, coord, x)
+    assert not np.allclose(np.asarray(center2), np.asarray(coord))
+
+    # precomputed indices (first column = self) reproduce the self-knn result
+    from usip_tpu.ops import knn
+    _, idx = knn(coord, coord, 6)
+    c3, f3 = mod.apply(v, coord, x, knn_idx=idx)
+    _, f_self = mod.apply(v, coord, x)
+    np.testing.assert_allclose(np.asarray(f3), np.asarray(f_self), atol=1e-6)
+
+    fus = KNNFusionGroupModule((8, 8), k=4, features_after=(12,),
+                               normalization=None)
+    vf = fus.init(jax.random.PRNGKey(1), coord, x)
+    _, ff = fus.apply(vf, coord, x)
+    assert ff.shape == (2, 24, 12)
+    # after0 consumes the [max, h] virtual concat -> kernel width 2*8
+    assert vf["params"]["after0"]["dense"]["kernel"].shape == (16, 12)
+
+
+def test_upconv_doubles_spatial(rng):
+    """UpConv (models/layers.py:219-245): 2x nearest upsample + 3x3 SAME conv,
+    bias init 0.001."""
+    from usip_tpu.nn import UpConv
+
+    net = UpConv(6, activation="relu", normalization="batch")
+    x = jnp.asarray(rng.normal(size=(2, 5, 7, 3)).astype(np.float32))
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+    y = np.asarray(net.apply(v, x, train=False))
+    assert y.shape == (2, 10, 14, 6)
+    np.testing.assert_allclose(
+        np.asarray(v["params"]["conv"]["bias"]), 0.001)

@@ -16,6 +16,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Array = jax.Array
@@ -220,6 +221,143 @@ class SharedMLP(nn.Module):
                 name=f"layer{i}",
             )(x, train=train, bn_momentum=bn_momentum)
         return x
+
+
+class PointResNet(nn.Module):
+    """Skip-connected shared-MLP stack (models/layers.py:547-589): layer 0's
+    output is concatenated onto the input of the LAST layer, which is linear
+    (no norm/act). Channels-last on (..., N, C). Inventory-parity block — no
+    released reference config instantiates it, matching the reference where
+    it is equally dead code."""
+
+    features: Sequence[int]
+    activation: Optional[str] = "relu"
+    normalization: Optional[str] = "batch"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False,
+                 bn_momentum: Array | float = 0.1) -> Array:
+        k = len(self.features)
+        assert k >= 2, "PointResNet needs at least 2 layers"
+        h0 = PointwiseLayer(self.features[0], activation=self.activation,
+                            normalization=self.normalization, dtype=self.dtype,
+                            name="layer0")(x, train, bn_momentum)
+        h = h0
+        for i in range(1, k - 1):
+            h = PointwiseLayer(self.features[i], activation=self.activation,
+                               normalization=self.normalization,
+                               dtype=self.dtype,
+                               name=f"layer{i}")(h, train, bn_momentum)
+        # final layer: linear, over concat(layer0, previous) — the split-
+        # kernel form computes it without materializing the concat
+        return PointwiseLayer(self.features[-1], activation=None,
+                              normalization=None, dtype=self.dtype,
+                              name=f"layer{k - 1}")((h0, h), train,
+                                                    bn_momentum)
+
+
+class KNNGroupModule(nn.Module):
+    """kNN-neighborhood feature module (reference ``KNNModule``,
+    models/layers.py:306-372): kNN over coordinates (or precomputed indices),
+    gather + decentre by the neighborhood 'center'/'avg', MLP stack, max over
+    K. Returns (centers (..., M, 3), features (..., M, C)). Channels-last;
+    inventory-parity block (dead in every released reference config)."""
+
+    features: Sequence[int]
+    k: int
+    center_type: str = "center"  # 'center' | 'avg' (layers.py:352-356)
+    activation: Optional[str] = "relu"
+    normalization: Optional[str] = "batch"
+    dtype: Optional[jnp.dtype] = None
+
+    def _group(self, coordinate, x, knn_idx):
+        from usip_tpu.ops import gather_points, knn
+        if knn_idx is None:
+            _, knn_idx = knn(jax.lax.stop_gradient(coordinate),
+                             jax.lax.stop_gradient(coordinate), self.k)
+        else:
+            knn_idx = knn_idx[..., :self.k]
+        neighbors = gather_points(coordinate, knn_idx)       # (B, M, K, 3)
+        if self.center_type == "avg":
+            center = jnp.mean(neighbors, axis=-2, keepdims=True)
+        elif self.center_type == "center":
+            center = coordinate[..., :, None, :]
+        else:
+            raise ValueError(f"unknown center_type {self.center_type!r}")
+        decentered = jax.lax.stop_gradient(neighbors - center)
+        feats = gather_points(x, knn_idx)                    # (B, M, K, C)
+        h = jnp.concatenate([decentered, feats], axis=-1)
+        return jax.lax.stop_gradient(center[..., 0, :]), h
+
+    @nn.compact
+    def __call__(self, coordinate: Array, x: Array, train: bool = False,
+                 bn_momentum: Array | float = 0.1,
+                 knn_idx: Optional[Array] = None):
+        center, h = self._group(coordinate, x, knn_idx)
+        for i, c in enumerate(self.features):
+            h = PointwiseLayer(c, activation=self.activation,
+                               normalization=self.normalization,
+                               dtype=self.dtype,
+                               name=f"layer{i}")(h, train, bn_momentum)
+        return center, jnp.max(h, axis=-2)
+
+
+class KNNFusionGroupModule(KNNGroupModule):
+    """``KNNFusionModule`` (models/layers.py:443-521): KNNGroupModule with a
+    mid max-fusion — pre-MLPs, per-neighborhood max, concat [max, features],
+    post-MLPs, final max. Inventory-parity block (dead in released configs;
+    the live fusion used by the detectors is ``GeneralKNNFusionModule`` ->
+    models/detector.py KNNFusionOnNodes)."""
+
+    features_after: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, coordinate: Array, x: Array, train: bool = False,
+                 bn_momentum: Array | float = 0.1,
+                 knn_idx: Optional[Array] = None):
+        center, h = self._group(coordinate, x, knn_idx)
+        for i, c in enumerate(self.features):
+            h = PointwiseLayer(c, activation=self.activation,
+                               normalization=self.normalization,
+                               dtype=self.dtype,
+                               name=f"before{i}")(h, train, bn_momentum)
+        h_max = jnp.max(h, axis=-2, keepdims=True)
+        y = (h_max, h)  # virtual concat [max, h] (layers.py:516)
+        for i, c in enumerate(self.features_after):
+            y = PointwiseLayer(c, activation=self.activation,
+                               normalization=self.normalization,
+                               dtype=self.dtype,
+                               name=f"after{i}")(y, train, bn_momentum)
+        return center, jnp.max(y, axis=-2)
+
+
+class UpConv(nn.Module):
+    """2x nearest-neighbor upsample + 3x3 same-padded conv (models/
+    layers.py:219-245) — the reference's image-domain decoder block, NHWC.
+    Fan-out normal init N(0, sqrt(2/(k*k*out))) with 0.001 bias
+    (layers.py:230-236). Inventory-parity block (unused by USIP's released
+    pipelines)."""
+
+    features: int
+    activation: Optional[str] = None
+    normalization: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False,
+                 bn_momentum: Array | float = 0.1) -> Array:
+        b, h, w, c = x.shape
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        fan_out_init = nn.initializers.normal(
+            stddev=float(np.sqrt(2.0 / (9 * self.features))))
+        y = nn.Conv(self.features, (3, 3), padding="SAME",
+                    kernel_init=fan_out_init,
+                    bias_init=nn.initializers.constant(0.001),
+                    name="conv")(up)
+        if self.normalization == "batch":
+            y = BatchNorm(self.features, name="norm")(
+                y, use_running_average=not train, momentum=bn_momentum)
+        return activation_fn(self.activation)(y)
 
 
 class PointNetFusion(nn.Module):
