@@ -14,6 +14,11 @@ context vs ~0.46 ms ideal for 8 x 11.3 GFLOP at 197 TFLOP/s bf16). Candidates:
                      shapes).
   C. flat rows     — reshape (B, M, K, C) -> (B*M*K, C) before the MLPs.
   D. split + flat  — both.
+  E. pallas        — the VMEM-resident fused Mosaic chain
+                     (ops/pallas_kernels.fused_fusion_chain; --pallas-tile,
+                     off by default: each tile size is a multi-minute Mosaic
+                     compile through the remote tunnel and bursts of them
+                     have wedged the backend — run ONE tile per process).
 
 Timing: pipelined loop (enqueue N iterations, fetch one scalar) — the only
 honest method on this transport (PERFORMANCE.md methodology).
@@ -105,6 +110,10 @@ def main():
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--c1", type=int, default=128)
     ap.add_argument("--c2", type=int, default=512)
+    ap.add_argument("--pallas-tile", type=int, default=0,
+                    help="also time fused_fusion_chain at this tile_m "
+                         "(0 = skip; measured on v5e: 64->3.22 ms, "
+                         "256->1.61, 512->1.69 vs XLA-split 1.48)")
     args = ap.parse_args()
 
     b, m, k, c1, c2 = args.b, args.m, args.k, args.c1, args.c2
@@ -126,6 +135,19 @@ def main():
         ("C flat", flatten_wrap(fusion_baseline), flops),
         ("D split+flat", flatten_wrap(fusion_split), flops_split),
     ]
+    if args.pallas_tile:
+        from usip_tpu.ops.pallas_kernels import fused_fusion_chain
+
+        def pallas_variant(ws, bs, h0, dt):
+            # dt ignored: the kernel is bf16-weights/fp32-accumulate by design
+            w4 = ws[3]
+            split = (ws[0], ws[1], ws[2], w4[:c2 // 2], w4[c2 // 2:], ws[4])
+            return fused_fusion_chain(h0, split, bs,
+                                      tile_m=args.pallas_tile)
+
+        variants.append((f"E pallas t{args.pallas_tile}", pallas_variant,
+                         flops_split))
+
     ref_out = None
     for dt_name, dt in (("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
         for name, fn, fl in variants:

@@ -18,3 +18,73 @@ def test_min_argmin_matches_xla(rng):
                                atol=1e-3)
     np.testing.assert_array_equal(np.asarray(idxs),
                                   np.asarray(jnp.argmin(ref, 2)))
+
+
+def test_fused_fusion_chain_matches_module(rng):
+    """fused_fusion_chain (interpret mode) == KNNFusionOnNodes eval forward
+    with BN folded: same grouped input, same weights, nontrivial running
+    stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from usip_tpu.models.detector import KNNFusionOnNodes
+    from usip_tpu.ops import gather_points, knn
+    from usip_tpu.ops.pallas_kernels import (fused_fusion_chain,
+                                             fusion_chain_params)
+
+    b, m, k, cf = 2, 16, 4, 12
+    q = jnp.asarray(rng.normal(size=(b, m, 3)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(b, m, cf)).astype(np.float32))
+    mod = KNNFusionOnNodes(features_before=(32, 32, 32),
+                           features_after=(64, 64), k=k,
+                           dtype=jnp.bfloat16)
+    v = mod.init(jax.random.PRNGKey(0), q, q, x, False, 0.1)
+    # nontrivial running stats so the BN folding is actually exercised
+    stats = jax.tree_util.tree_map(lambda a: a, v["batch_stats"])
+    leaves, treedef = jax.tree_util.tree_flatten(stats)
+    leaves = [jnp.asarray(rng.uniform(0.5, 1.5, size=l.shape), jnp.float32)
+              for l in leaves]
+    v = dict(v, batch_stats=jax.tree_util.tree_unflatten(treedef, leaves))
+
+    ref = mod.apply(v, q, q, x, False, 0.1)
+
+    _, idx = knn(q, q, k)
+    grouped = jnp.concatenate(
+        [gather_points(q, idx) - q[:, :, None, :], gather_points(x, idx)],
+        axis=-1)
+    ws, bs = fusion_chain_params(v["params"], v["batch_stats"])
+    out = fused_fusion_chain(grouped, ws, bs, tile_m=8, interpret=True)
+    ref_np = np.asarray(ref)
+    scale = np.abs(ref_np).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(out) / scale, ref_np / scale,
+                               atol=3e-2)
+    # median agreement should be bf16-tight
+    med = np.median(np.abs(np.asarray(out) - ref_np))
+    assert med < 2e-2 * scale, med
+
+
+def test_detector_infer_fused_matches_model(rng):
+    """detector_infer_fused (interpret mode) == Detector.apply eval forward,
+    end to end through the trunk replay + folded-BN fused chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from usip_tpu.config import get_config
+    from usip_tpu.models import Detector
+    from usip_tpu.models.fused_infer import detector_infer_fused
+
+    cfg = get_config("modelnet", **{
+        "data.input_pc_num": 128, "data.node_num": 16,
+        "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4,
+        "detector.compute_dtype": "float32"})
+    b, n, m = 2, 128, 16
+    pc = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    sn = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    node = pc[:, :m]
+    model = Detector(cfg.detector)
+    v = model.init(jax.random.PRNGKey(0), pc, sn, node, train=False)
+    ref_a, ref_k, ref_s = model.apply(v, pc, sn, node, train=False)
+    a, kp, sg = detector_infer_fused(cfg, v, pc, sn, node, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ref_a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kp), np.asarray(ref_k), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sg), np.asarray(ref_s), atol=1e-3)

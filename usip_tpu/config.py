@@ -51,6 +51,10 @@ class DetectorConfig:
     # ~7x less select time at LiDAR scale; a documented semantic deviation —
     # near-miss neighbors for 'knn', bucket-strided scan picks for 'ball')
     group_method: str = "exact"
+    # inference-time kNN-fusion stack executor: 'xla' | 'pallas' (VMEM-
+    # resident fused MLP chain, ops/pallas_kernels.py fused_fusion_chain;
+    # eval-mode only — BN folded into the weights. Training always uses XLA.)
+    fusion_backend: str = "xla"
 
 
 @dataclass(frozen=True)

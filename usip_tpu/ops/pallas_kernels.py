@@ -93,3 +93,127 @@ def min_argmin_pallas(points: Array, nodes: Array, tile_n: int = 1024,
         return jnp.maximum(mins[:, 0], 0.0), idxs[:, 0]
 
     return jax.vmap(one)(points, nodes)
+
+
+# ---------------------------------------------------------------------------
+# Fused kNN-fusion MLP chain (inference).
+#
+# The detector's FLOP-dense block (KNNFusionOnNodes: 3 pre-MLPs, max over K,
+# split-kernel after0, after1, final max) runs at ~25% MFU under XLA because
+# each of the five matmuls round-trips its (B, M, K, C) activations through
+# HBM (PERFORMANCE.md round-3 MFU section). This kernel keeps an M-tile's
+# activations resident in VMEM across the whole chain: HBM traffic collapses
+# to one read of the grouped input + one write of the (B, M, C2) output.
+#
+# Eval-mode only: BatchNorm is pre-folded into the weights/biases
+# (fold_pointwise_params), so training keeps the XLA path (batch stats +
+# autodiff).
+
+
+def _fusion_chain_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4m, w4h, b4, w5, b5,
+                         out_ref):
+    """One (TM, K, Cin) node tile through the full fusion chain.
+
+    Weights are bf16 with BN folded; matmuls accumulate fp32 on the MXU.
+    after0 uses the split-kernel form: rows [0:C) of the model's after0
+    kernel hit the per-node max once (w4m), rows [C:2C) the features (w4h) —
+    identical to the XLA split layer (nn/layers.py _SplitDense).
+    """
+    tm, k, cin = x_ref.shape
+    x = x_ref[:].astype(jnp.bfloat16).reshape(tm * k, cin)
+    h = x
+    for w, b in ((w1, b1), (w2, b2), (w3, b3)):
+        h = jnp.dot(h, w[:], preferred_element_type=jnp.float32) + b[:]
+        h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+    c = h.shape[-1]
+    h_max = jnp.max(h.reshape(tm, k, c), axis=1)             # (TM, C)
+    side = jnp.dot(h_max, w4m[:], preferred_element_type=jnp.float32) + b4[:]
+    main = jnp.dot(h, w4h[:], preferred_element_type=jnp.float32)
+    c2 = side.shape[-1]
+    y = jnp.maximum(main.reshape(tm, k, c2) + side[:, None, :], 0.0)
+    y = y.astype(jnp.bfloat16).reshape(tm * k, c2)
+    y = jnp.dot(y, w5[:], preferred_element_type=jnp.float32) + b5[:]
+    y = jnp.maximum(y, 0.0)
+    out_ref[:] = jnp.max(y.reshape(tm, k, c2), axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_m", "interpret"))
+def fused_fusion_chain(grouped: Array, weights, biases, tile_m: int = 256,
+                       interpret: bool = False) -> Array:
+    """grouped (B, M, K, Cin) fp32 -> (B, M, C2) fp32.
+
+    ``weights`` = (w1, w2, w3, w4m, w4h, w5) and ``biases`` = (b1, b2, b3,
+    b4, b5), BN already folded (fold_pointwise_params), any float dtype
+    (cast to bf16 here). B*M must be a multiple of tile_m; K and the channel
+    widths should be sublane/lane aligned (K=16, C multiples of 128 at the
+    released widths).
+    """
+    b, m, k, cin = grouped.shape
+    assert (b * m) % tile_m == 0, (b, m, tile_m)
+    c = weights[0].shape[1]
+    c2 = weights[5].shape[1]
+    x = grouped.reshape(b * m, k, cin)
+    ws = [jnp.asarray(w, jnp.bfloat16) for w in weights]
+    bs = [jnp.asarray(bb, jnp.float32).reshape(1, -1) for bb in biases]
+
+    def wspec(w):
+        return pl.BlockSpec(w.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _fusion_chain_kernel,
+        grid=(b * m // tile_m,),
+        in_specs=[pl.BlockSpec((tile_m, k, cin), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  wspec(ws[0]), wspec(bs[0]), wspec(ws[1]), wspec(bs[1]),
+                  wspec(ws[2]), wspec(bs[2]), wspec(ws[3]), wspec(ws[4]),
+                  wspec(bs[3]), wspec(ws[5]), wspec(bs[4])],
+        out_specs=pl.BlockSpec((tile_m, c2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * m, c2), jnp.float32),
+        interpret=interpret,
+    )(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], ws[4], bs[3],
+      ws[5], bs[4])
+    return out.reshape(b, m, c2)
+
+
+def fold_pointwise_params(params, stats, eps: float = 1e-5):
+    """Fold a PointwiseLayer's eval-mode BatchNorm into its dense kernel/bias.
+
+    y = BN(x @ W + b) = x @ (W * s) + ((b - mean) * s + beta),
+    s = gamma * rsqrt(var + eps). Layers without a norm pass through.
+    Returns (kernel, bias) as fp32 numpy-compatible arrays.
+    """
+    kern = jnp.asarray(params["dense"]["kernel"], jnp.float32)
+    bias = jnp.asarray(params["dense"]["bias"], jnp.float32)
+    if "norm" not in params:
+        return kern, bias
+    gamma = jnp.asarray(params["norm"]["scale"], jnp.float32)
+    beta = jnp.asarray(params["norm"]["bias"], jnp.float32)
+    mean = jnp.asarray(stats["norm"]["mean"], jnp.float32)
+    var = jnp.asarray(stats["norm"]["var"], jnp.float32)
+    s = gamma * jax.lax.rsqrt(var + eps)
+    return kern * s[None, :], (bias - mean) * s + beta
+
+
+def fusion_chain_params(knn_params, knn_stats):
+    """Extract + fold the KNNFusionOnNodes ('knnlayer') weights for
+    fused_fusion_chain: before0..2 -> w1..3; after0 split at the concat
+    boundary into (w4m, w4h); after1 -> w5."""
+    ws, bs = [], []
+    for name in ("before0", "before1", "before2"):
+        w, b = fold_pointwise_params(knn_params[name],
+                                     knn_stats.get(name, {}))
+        ws.append(w)
+        bs.append(b)
+    w4, b4 = fold_pointwise_params(knn_params["after0"],
+                                   knn_stats.get("after0", {}))
+    c = ws[-1].shape[1]
+    ws.extend([w4[:c], w4[c:]])       # [max-part, h-part] (concat order)
+    bs.append(b4)
+    w5, b5 = fold_pointwise_params(knn_params["after1"],
+                                   knn_stats.get("after1", {}))
+    ws.append(w5)
+    bs.append(b5)
+    return tuple(ws), tuple(bs)

@@ -261,7 +261,27 @@ def make_detector_eval_step(cfg: Config, model: Detector):
 
 def make_detector_infer(cfg: Config, model: Detector):
     """Inference fn (run_model, keypoint_detector.py:247-251): nodes sampled on
-    device, returns keypoints + sigmas."""
+    device, returns keypoints + sigmas.
+
+    ``detector.fusion_backend='pallas'`` (som trunk only) routes the fusion
+    stack through the VMEM-resident fused chain (models/fused_infer.py)."""
+    use_fused = (cfg.detector.fusion_backend == "pallas"
+                 and cfg.detector.grouping == "som")
+    if use_fused:
+        import jax as _jax
+
+        from usip_tpu.models.fused_infer import detector_infer_fused
+        interp = _jax.default_backend() == "cpu"
+
+        def infer_fused(state: TrainState, pc: Array, sn: Array, key: Array):
+            node = sample_nodes(key, pc, cfg.data.node_num,
+                                cfg.data.fps_subsample_ratio,
+                                parallel=cfg.data.fps_parallel)
+            _, kp, sig = detector_infer_fused(cfg, state.variables, pc, sn,
+                                              node, interpret=interp)
+            return kp, sig
+
+        return infer_fused
 
     def infer(state: TrainState, pc: Array, sn: Array, key: Array):
         node = sample_nodes(key, pc, cfg.data.node_num,
