@@ -88,3 +88,25 @@ def test_detector_infer_fused_matches_model(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(ref_a), atol=1e-5)
     np.testing.assert_allclose(np.asarray(kp), np.asarray(ref_k), atol=1e-3)
     np.testing.assert_allclose(np.asarray(sg), np.asarray(ref_s), atol=1e-3)
+
+
+def test_fps_pallas_matches_xla(rng):
+    """fps_pallas (interpret mode) picks bit-identical indices to the XLA
+    fori_loop FPS: same recurrence, same first-occurrence argmax tie-break."""
+    import jax
+
+    from usip_tpu.ops.pallas_kernels import fps_pallas
+    from usip_tpu.ops.sampling import farthest_point_sampling
+
+    b, s, k = 4, 256, 64
+    pc = jnp.asarray((rng.normal(size=(b, s, 3)) * 10).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    samples, idx_ref = farthest_point_sampling(key, pc, k)
+    first = idx_ref[:, 0]
+    idx = fps_pallas(pc, first, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    # duplicated points exercise the tie-break
+    pc_dup = jnp.concatenate([pc[:, : s // 2], pc[:, : s // 2]], axis=1)
+    _, idx_ref2 = farthest_point_sampling(key, pc_dup, k)
+    idx2 = fps_pallas(pc_dup, idx_ref2[:, 0], k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx2), np.asarray(idx_ref2))

@@ -178,6 +178,90 @@ def fused_fusion_chain(grouped: Array, weights, biases, tile_m: int = 256,
     return out.reshape(b, m, c2)
 
 
+# ---------------------------------------------------------------------------
+# VMEM-resident farthest point sampling.
+#
+# The XLA FPS (ops/sampling.py) is a k-step lax.fori_loop whose per-iteration
+# tensors are tiny ((B, S) distance rows); on-chip it is latency-bound at
+# ~2.9 ms for (8, 2048) -> 512 (PERFORMANCE.md "where the time goes"), the
+# single largest non-forward cost of the detect path. This kernel runs the
+# whole sequential loop inside one Mosaic program with every operand VMEM-
+# resident: per step it does 5 lane-reductions + ~20 elementwise vreg ops on
+# an (B, S) tile, no HBM traffic and no per-step XLA op dispatch.
+#
+# Same recurrence, same first-occurrence argmax tie-break, same fp32
+# arithmetic as the XLA path => bit-identical pick indices
+# (tests/test_pallas_kernels.py).
+
+
+def _fps_kernel(px_ref, py_ref, pz_ref, first_ref, idx_ref, *, k: int):
+    """FPS over all batch rows at once.
+
+    px/py/pz: (B, S) fp32 coordinate planes (B on sublanes, S on lanes);
+    first: (1, B) int32 seed indices; idx out: (B, k) int32 pick indices.
+    """
+    px = px_ref[:]
+    py = py_ref[:]
+    pz = pz_ref[:]
+    b, s = px.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    first = first_ref[0, :]                                   # (B,)
+
+    def dist_to(idx):
+        oh = lane == idx[:, None]
+        sx = jnp.sum(jnp.where(oh, px, 0.0), axis=1, keepdims=True)
+        sy = jnp.sum(jnp.where(oh, py, 0.0), axis=1, keepdims=True)
+        sz = jnp.sum(jnp.where(oh, pz, 0.0), axis=1, keepdims=True)
+        dx = px - sx
+        dy = py - sy
+        dz = pz - sz
+        return dx * dx + dy * dy + dz * dz                    # (B, S)
+
+    # picks accumulate in a register carry (masked update per step): Mosaic
+    # rejects lane-dim dynamic stores unless 128-aligned, and a (B, k) i32
+    # where() is ~4 vreg ops — cheaper than any store would be anyway.
+    picks0 = jnp.where(lane_k == 0, first[:, None], 0)
+    mind0 = dist_to(first)
+
+    def body(i, state):
+        mind, picks = state
+        # first-occurrence argmax, same tie-break as jnp.argmax
+        far = jnp.min(jnp.where(mind == jnp.max(mind, axis=1, keepdims=True),
+                                lane, s), axis=1).astype(jnp.int32)   # (B,)
+        picks = jnp.where(lane_k == i, far[:, None], picks)
+        return jnp.minimum(mind, dist_to(far)), picks
+
+    _, picks = jax.lax.fori_loop(1, k, body, (mind0, picks0))
+    idx_ref[:] = picks
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def fps_pallas(points: Array, first: Array, k: int,
+               interpret: bool = False) -> Array:
+    """Farthest point sampling, whole loop in one Mosaic program.
+
+    points (B, S, 3) any float dtype, first (B,) int32 seed rows ->
+    (B, k) int32 pick indices (pick 0 == first). Bit-identical to the XLA
+    ``_fps_single`` recurrence in fp32. S should be lane-aligned (multiple of
+    128) for efficiency; B is free (sublane-padded).
+    """
+    b, s, _ = points.shape
+    planes = jnp.moveaxis(points.astype(jnp.float32), -1, 0)  # (3, B, S)
+    first2 = first.astype(jnp.int32)[None, :]                 # (1, B)
+    plane_spec = pl.BlockSpec((b, s), lambda: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fps_kernel, k=k),
+        in_specs=[plane_spec, plane_spec, plane_spec,
+                  pl.BlockSpec((1, b), lambda: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((b, k), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k), jnp.int32),
+        interpret=interpret,
+    )(planes[0], planes[1], planes[2], first2)
+
+
 def fold_pointwise_params(params, stats, eps: float = 1e-5):
     """Fold a PointwiseLayer's eval-mode BatchNorm into its dense kernel/bias.
 
