@@ -110,3 +110,18 @@ def test_fps_pallas_matches_xla(rng):
     _, idx_ref2 = farthest_point_sampling(key, pc_dup, k)
     idx2 = fps_pallas(pc_dup, idx_ref2[:, 0], k, interpret=True)
     np.testing.assert_array_equal(np.asarray(idx2), np.asarray(idx_ref2))
+
+
+def test_fps_auto_backend_guards():
+    """auto only picks Mosaic on TPU with lane-aligned fp32 planes."""
+    from usip_tpu.ops.sampling import _use_pallas_fps
+
+    pc = jnp.zeros((4, 256, 3), jnp.float32)
+    # CPU backend (tests force cpu): auto must decline, explicit must win
+    assert not _use_pallas_fps("auto", pc, 64)
+    assert _use_pallas_fps("pallas", pc, 64)
+    assert not _use_pallas_fps("xla", pc, 64)
+    # unaligned S / wrong dtype / oversize are ineligible even on TPU
+    assert not _use_pallas_fps("auto", jnp.zeros((4, 250, 3), jnp.float32), 64)
+    assert not _use_pallas_fps("auto", pc.astype(jnp.bfloat16), 64)
+    assert not _use_pallas_fps("auto", jnp.zeros((64, 16384, 3), jnp.float32), 64)

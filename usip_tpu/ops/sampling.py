@@ -43,9 +43,41 @@ def _fps_single(points: Array, k: int, first: Array) -> Tuple[Array, Array]:
     return points[idxs], idxs
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+def _use_pallas_fps(backend: str, points: Array, k: int) -> bool:
+    """Resolve the FPS backend at trace time.
+
+    'auto' picks the VMEM-resident Mosaic kernel (``pallas_kernels.fps_pallas``,
+    4.1x the XLA fori_loop on-chip, bit-identical picks — PERFORMANCE.md) when
+    tracing for TPU with lane-aligned fp32 inputs; anything else keeps the XLA
+    path. Guards: S must be a lane multiple (Mosaic pads unaligned blocks with
+    garbage lanes that could win the argmax), fp32 only (parity is fp32-exact),
+    and the (B, S) planes must comfortably fit VMEM.
+    """
+    if backend == "pallas":
+        return True
+    if backend != "auto":
+        return False
+    b, n, _ = points.shape
+    return (jax.default_backend() == "tpu" and points.dtype == jnp.float32
+            and n % 128 == 0 and b * n * 4 <= 2 * 1024 * 1024)
+
+
+def _fps_batched(key: Array, points: Array, k: int,
+                 backend: str) -> Tuple[Array, Array]:
+    """One FPS instance per batch row; backend-dispatched."""
+    b, n, _ = points.shape
+    first = jax.random.randint(key, (b,), 0, n)
+    if _use_pallas_fps(backend, points, k):
+        from usip_tpu.ops.pallas_kernels import fps_pallas
+        idxs = fps_pallas(jax.lax.stop_gradient(points), first, k)
+        return jnp.take_along_axis(points, idxs[..., None], axis=1), idxs
+    return jax.vmap(_fps_single, in_axes=(0, None, 0))(points, k, first)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def farthest_point_sampling(key: Array, points: Array, k: int,
-                            parallel: int = 1) -> Tuple[Array, Array]:
+                            parallel: int = 1,
+                            backend: str = "auto") -> Tuple[Array, Array]:
     """Batched FPS. points ``(B, N, 3)`` -> samples ``(B, k, 3)``, indices ``(B, k)``.
 
     ``parallel=t>1`` runs t independent FPS instances over t row-buckets of the
@@ -54,6 +86,10 @@ def farthest_point_sampling(key: Array, points: Array, k: int,
     loop (PERFORMANCE.md). Buckets are contiguous row ranges, so rows MUST be
     in random order for the approximation to hold (``sample_nodes`` guarantees
     this via its random-subset step; quality A/B in PERFORMANCE.md).
+
+    ``backend``: 'auto' (Mosaic kernel on TPU when eligible, XLA otherwise),
+    'xla', or 'pallas'. Both produce bit-identical pick indices
+    (tests/test_pallas_kernels.py).
     """
     b, n, _ = points.shape
     if parallel > 1:
@@ -61,15 +97,12 @@ def farthest_point_sampling(key: Array, points: Array, k: int,
             raise ValueError(f"parallel={parallel} must divide N={n} and k={k}")
         nc, kc = n // parallel, k // parallel
         chunks = points.reshape(b * parallel, nc, 3)
-        first = jax.random.randint(key, (b * parallel,), 0, nc)
-        samples, idxs = jax.vmap(_fps_single, in_axes=(0, None, 0))(
-            chunks, kc, first)
+        samples, idxs = _fps_batched(key, chunks, kc, backend)
         offs = ((jnp.arange(b * parallel, dtype=jnp.int32) % parallel)
                 * nc)[:, None]
         return (samples.reshape(b, k, 3),
                 (idxs + offs).reshape(b, k))
-    first = jax.random.randint(key, (b,), 0, n)
-    return jax.vmap(_fps_single, in_axes=(0, None, 0))(points, k, first)
+    return _fps_batched(key, points, k, backend)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
