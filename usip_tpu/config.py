@@ -288,7 +288,7 @@ def _oxford_preset() -> Config:
         # device_sampling: ship each ~20k-pt submap once (fp32 wire — ENU
         # magnitudes are not crop-bounded like kitti's r90)
         data=DataConfig(dataset="oxford", input_pc_num=16384, node_num=512,
-                        fps_subsample_ratio=8, fps_parallel=2,
+                        fps_subsample_ratio=8, fps_parallel=1,
                         device_sampling=True, parent_pc_num=20480),
         detector=DetectorConfig(
             grouping="som", c1=128, c2=512, node_knn_k=16,
@@ -313,10 +313,13 @@ def _kitti_preset() -> Config:
         # (np_0.20_20480_r90_sn) — ship the parent once in fp16 (|x| < 90 m
         # after the r90 crop -> <=0.03 m quantization vs the 0.2 m voxel grid)
         # and draw both siamese subsamples on device
-        # fps_parallel=2: bucketed FPS, repeatability-neutral in both A/Bs
-        # (PERFORMANCE.md round 2); t=4 trades ~6%% repeatability for +8%% rate
+        # fps_parallel=1: exact FPS (the reference's semantics). The Mosaic
+        # VMEM kernel removed the serial-latency penalty that motivated the
+        # round-2 bucketed t=2 default — exact now costs ~1% (943.5 vs 953.7
+        # clouds/s, PERFORMANCE.md round 3); t=2 (repeatability-neutral) and
+        # t=4/8 remain available where raw rate matters
         data=DataConfig(dataset="kitti", input_pc_num=16384, node_num=512,
-                        fps_subsample_ratio=8, fps_parallel=2,
+                        fps_subsample_ratio=8, fps_parallel=1,
                         device_sampling=True, parent_pc_num=20480,
                         wire_dtype="float16"),
         detector=DetectorConfig(
