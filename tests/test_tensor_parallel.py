@@ -1,0 +1,81 @@
+"""Channel-sharded (tensor-parallel) detector forward vs single device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from usip_tpu.config import get_config
+from usip_tpu.models import Detector
+from usip_tpu.parallel.tensor_parallel import (make_channel_mesh,
+                                               shard_tp_params,
+                                               tensor_parallel_detector_forward)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_channel_mesh(8)
+
+
+def _setup(rng, **overrides):
+    cfg = get_config(
+        "modelnet",
+        **{"data.input_pc_num": 256, "data.node_num": 16,
+           "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4,
+           "detector.compute_dtype": "float32", **overrides})
+    s = cfg.detector.surface_normal_len
+    pc = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+    sn = jnp.asarray(rng.normal(size=(2, 256, s)).astype(np.float32))
+    node = jnp.asarray(rng.normal(size=(2, 16, 3)).astype(np.float32))
+    model = Detector(cfg.detector)
+    variables = model.init(jax.random.PRNGKey(0), pc, sn, node, train=False)
+    return cfg, model, variables, (pc, sn, node)
+
+
+def test_tp_forward_matches_single_device(mesh, rng):
+    """TP fusion-block/head forward == single-device forward (fp32)."""
+    cfg, model, variables, inputs = _setup(rng)
+    ref_anchors, ref_kp, ref_sig = model.apply(variables, *inputs, train=False)
+    anchors, kp, sig = tensor_parallel_detector_forward(mesh, cfg, variables,
+                                                        *inputs)
+    np.testing.assert_allclose(np.asarray(anchors), np.asarray(ref_anchors),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(kp), np.asarray(ref_kp), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(ref_sig), atol=1e-3)
+
+
+def test_tp_forward_bf16_close(mesh, rng):
+    """bf16 compute: approximate parity (partials round before the psum)."""
+    cfg, model, variables, inputs = _setup(
+        rng, **{"detector.compute_dtype": "bfloat16"})
+    _, ref_kp, ref_sig = model.apply(variables, *inputs, train=False)
+    _, kp, sig = tensor_parallel_detector_forward(mesh, cfg, variables,
+                                                  *inputs)
+    np.testing.assert_allclose(np.asarray(kp), np.asarray(ref_kp), atol=0.05)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(ref_sig), atol=0.05)
+
+
+def test_tp_param_stacks_shard_evenly(mesh, rng):
+    """Every TP stack has a leading n_shards dim; col/row slices tile the
+    original kernels exactly."""
+    cfg, _, variables, _ = _setup(rng)
+    d = 8
+    tp, rp = shard_tp_params(cfg, variables, d)
+    for k, v in tp.items():
+        assert v.shape[0] == d, f"{k}: {v.shape}"
+    w = variables["params"]["knnlayer"]["before0"]["dense"]["kernel"]
+    col = np.asarray(tp["before0_w"])  # (d, Cin, Cout/d)
+    np.testing.assert_array_equal(np.concatenate(list(col), axis=1),
+                                  np.asarray(w))
+    w1 = variables["params"]["knnlayer"]["before1"]["dense"]["kernel"]
+    rowed = np.asarray(tp["before1_w"])  # (d, Cin/d, Cout)
+    np.testing.assert_array_equal(np.concatenate(list(rowed), axis=0),
+                                  np.asarray(w1))
+    # row-layer bias/BN stay replicated and full width
+    assert rp["before1_b"].shape == (cfg.detector.c2 // 2,)
+
+
+def test_tp_rejects_indivisible_widths(mesh, rng):
+    cfg, _, variables, _ = _setup(rng)
+    with pytest.raises(AssertionError, match="not divisible"):
+        shard_tp_params(cfg, variables, 3)
