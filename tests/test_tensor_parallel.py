@@ -79,3 +79,79 @@ def test_tp_rejects_indivisible_widths(mesh, rng):
     cfg, _, variables, _ = _setup(rng)
     with pytest.raises(AssertionError, match="not divisible"):
         shard_tp_params(cfg, variables, 3)
+
+
+# ----------------------------------------------- GSPMD tensor-parallel training --
+
+def _train_setup(rng, batch_size=4):
+    from usip_tpu.data.synthetic import SyntheticDataset
+    from usip_tpu.train import DetectorBatch, TrainState, make_adam
+    cfg = get_config(
+        "modelnet",
+        **{"data.input_pc_num": 128, "data.node_num": 16,
+           "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4,
+           "detector.compute_dtype": "float32",
+           "train.batch_size": batch_size, "train.lr": 1e-3})
+    model = Detector(cfg.detector)
+    n, m = cfg.data.input_pc_num, cfg.data.node_num
+    s = cfg.detector.surface_normal_len
+    dummy = (jnp.zeros((2, n, 3)), jnp.zeros((2, n, s)), jnp.zeros((2, m, 3)))
+    variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    state = TrainState.create(variables, make_adam(cfg.train.lr))
+    ds = SyntheticDataset(size=8, input_pc_num=n, surface_normal_len=s, seed=3)
+    raw = ds.batch(np.random.default_rng(0), batch_size)
+    batch = DetectorBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
+    return cfg, model, state, batch
+
+
+def test_tp_train_step_matches_replicated(mesh, rng):
+    """Train step jitted with channel-sharded param layouts == replicated."""
+    from jax.sharding import PartitionSpec as P
+    from usip_tpu.parallel.tensor_parallel import (CHANNEL_AXIS,
+                                                   shard_state_tp,
+                                                   tp_state_sharding)
+    from usip_tpu.train import make_detector_train_step
+
+    cfg, model, state, batch = _train_setup(rng)
+    key, ep = jax.random.PRNGKey(5), jnp.asarray(0)
+    step = jax.jit(make_detector_train_step(cfg, model))
+    s1, m1 = step(state, batch, key, ep)
+
+    tstate = shard_state_tp(mesh, state)
+    k = tstate.params["knnlayer"]["before0"]["dense"]["kernel"]
+    assert k.sharding.spec == P(None, CHANNEL_AXIS)
+    assert tstate.params["head"]["mlp3"]["dense"]["kernel"].sharding.spec == P()
+    s2, m2 = step(tstate, batch, key, ep)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+    lr = cfg.train.lr
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3 * lr)
+    # sharding specs survive the update (stable layout across steps)
+    sh = tp_state_sharding(mesh, state)
+    k2 = s2.params["knnlayer"]["before0"]["dense"]["kernel"]
+    assert k2.sharding.spec == sh.params[
+        "knnlayer"]["before0"]["dense"]["kernel"].spec
+
+
+def test_tp_dp_2d_mesh_train_step(rng):
+    """dp x tp: batch sharded on data, wide params on channels, one program."""
+    from usip_tpu.parallel.tensor_parallel import (make_dp_tp_mesh,
+                                                   shard_state_tp)
+    from usip_tpu.parallel import shard_batch
+    from usip_tpu.train import DetectorBatch, make_detector_train_step
+
+    cfg, model, state, batch = _train_setup(rng)
+    key, ep = jax.random.PRNGKey(5), jnp.asarray(0)
+    step = jax.jit(make_detector_train_step(cfg, model))
+    s1, m1 = step(state, batch, key, ep)
+
+    mesh2 = make_dp_tp_mesh(2, 4)
+    tstate = shard_state_tp(mesh2, state)
+    tbatch = DetectorBatch(*shard_batch(mesh2, tuple(batch)))
+    s2, m2 = step(tstate, tbatch, key, ep)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+    lr = cfg.train.lr
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3 * lr)

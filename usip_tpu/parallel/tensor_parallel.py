@@ -264,5 +264,60 @@ def tensor_parallel_detector_forward(mesh: Mesh, cfg: Config, variables,
     return anchors, keypoints, sigmas
 
 
-__all__ = ["CHANNEL_AXIS", "make_channel_mesh", "shard_tp_params",
-           "tensor_parallel_detector_forward"]
+# ------------------------------------------------- GSPMD tensor-parallel training --
+
+# fusion-block + head layers whose channel dim is worth sharding (the trunk's
+# widths are small and its scatter stages don't benefit)
+TP_LAYER_NAMES = frozenset({"before0", "before1", "before2", "after0",
+                            "after1", "mlp1", "mlp2"})
+
+
+def make_dp_tp_mesh(dp: int, tp: int) -> Mesh:
+    """2-D ``data x channels`` mesh over the first dp*tp devices."""
+    import numpy as np
+    devices = jax.devices()[:dp * tp]
+    return Mesh(np.asarray(devices).reshape(dp, tp),
+                ("data", CHANNEL_AXIS))
+
+
+def tp_state_sharding(mesh: Mesh, state):
+    """NamedSharding pytree for a ``TrainState``: fusion/head layer kernels
+    channel-sharded on their output dim (their bias/BN vectors and the
+    mirrored Adam moments follow), everything else replicated.
+
+    This is the GSPMD form of tensor-parallel *training*: jit the ordinary
+    train step with these input layouts and XLA's sharding propagation
+    inserts the collectives — semantically identical to the replicated
+    program, per-device parameter/optimizer memory for the wide layers
+    divided by the mesh's ``channels`` size. Complements the explicit
+    shard_map inference path above.
+    """
+    from jax.sharding import NamedSharding
+    n = mesh.shape[CHANNEL_AXIS]
+
+    def one(path, leaf):
+        kp = jax.tree_util.keystr(path)
+        if any(f"'{name}'" in kp for name in TP_LAYER_NAMES) \
+                and hasattr(leaf, "ndim"):
+            if leaf.ndim == 2 and kp.endswith("'kernel']") \
+                    and leaf.shape[-1] % n == 0:
+                return NamedSharding(mesh, P(None, CHANNEL_AXIS))
+            if leaf.ndim == 1 and leaf.shape[0] % n == 0:
+                return NamedSharding(mesh, P(CHANNEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(one, state)
+
+
+def shard_state_tp(mesh: Mesh, state):
+    """Lay a ``TrainState`` out on the mesh per ``tp_state_sharding``."""
+    import numpy as np
+    sh = tp_state_sharding(mesh, state)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s)
+        if isinstance(x, (jax.Array, np.ndarray)) else x, state, sh)
+
+
+__all__ = ["CHANNEL_AXIS", "TP_LAYER_NAMES", "make_channel_mesh",
+           "make_dp_tp_mesh", "shard_state_tp", "shard_tp_params",
+           "tensor_parallel_detector_forward", "tp_state_sharding"]
