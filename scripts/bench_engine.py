@@ -45,11 +45,20 @@ def main():
     try:
         frames = 16
         make_kitti_tree(root, seqs=9, frames=frames)
+        # extra dotted overrides from argv, e.g. data.wire_dtype=quant
+        import json as _json
+        extra = {}
+        for a in sys.argv[1:]:
+            k, v = a.split("=", 1)
+            try:
+                extra[k] = _json.loads(v)
+            except _json.JSONDecodeError:
+                extra[k] = v
         cfg = get_config("kitti", **{
             "data.dataroot": root, "train.batch_size": 8,
             "train.log_every": 1000, "train.epochs": 2,
             "train.name": "bench_engine",
-            "train.checkpoint_dir": os.path.join(root, "ckpt")})
+            "train.checkpoint_dir": os.path.join(root, "ckpt"), **extra})
         ds = KittiDataset(cfg.data, "train", sn_len=cfg.detector.surface_normal_len)
         n_items = len(ds)
         print(f"dataset: {n_items} clouds of 20480 pts")

@@ -334,6 +334,73 @@ def test_parent_batch_device_sampling():
     assert np.isfinite(after) and after < before
 
 
+def test_quant_wire_round_trip_and_step():
+    """'quant' wire: int16 coords + int8 normals with per-cloud scales —
+    10 B/pt at S=4 vs fp16's 14, decode error bounded by half a grid step,
+    and the eval step sees the same loss as the fp32 wire to quant noise."""
+    from usip_tpu.train.steps import (ParentBatch, QuantParentBatch,
+                                      quantize_parent)
+
+    cfg0 = _tiny_config()
+    s = cfg0.detector.surface_normal_len
+    rng = np.random.default_rng(0)
+    pc = (rng.normal(size=(4, 192, 3)) * 40).astype(np.float32)  # LiDAR range
+    sn = rng.normal(size=(4, 192, s)).astype(np.float32)
+    q = quantize_parent(pc, sn)
+    assert q.pc_q.dtype == np.int16 and q.sn_q.dtype == np.int8
+    assert sum(a.nbytes for a in (q.pc_q, q.sn_q)) == 4 * 192 * (6 + s)
+
+    dec_pc = q.pc_q.astype(np.float32) * q.pc_scale
+    dec_sn = q.sn_q.astype(np.float32) * q.sn_scale
+    assert np.abs(dec_pc - pc).max() <= float(q.pc_scale.max()) * 0.5001
+    assert np.abs(dec_sn - sn).max() <= float(q.sn_scale.max()) * 0.5001
+
+    cfg = _tiny_config().with_overrides(
+        **{"data.device_sampling": True, "data.parent_pc_num": 192,
+           "data.wire_dtype": "quant", "detector.compute_dtype": "float32",
+           "train.batch_size": 4})
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    eval_step = jax.jit(make_detector_eval_step(cfg, model))
+    key = jax.random.PRNGKey(5)
+    qb = QuantParentBatch(*(jnp.asarray(a) for a in q))
+    fb = ParentBatch(pc=jnp.asarray(pc), sn=jnp.asarray(sn))
+    l_q = float(eval_step(state, qb, key)["loss"])
+    l_f = float(eval_step(state, fb, key)["loss"])
+    np.testing.assert_allclose(l_q, l_f, rtol=2e-3, atol=2e-3)
+
+    # and the train step learns through the quantized wire
+    step = jax.jit(make_detector_train_step(cfg, model))
+    for i in range(3):
+        state, metrics = step(state, qb, jax.random.fold_in(key, i),
+                              jnp.asarray(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_packed_wire_matches_fp16_parent():
+    """'float16_packed' wire: one [pc|sn] fp16 buffer decodes to exactly the
+    same step inputs as the two-array fp16 wire (bit-identical loss)."""
+    from usip_tpu.train.steps import PackedParentBatch, ParentBatch
+
+    cfg = _tiny_config().with_overrides(
+        **{"data.device_sampling": True, "data.parent_pc_num": 192,
+           "detector.compute_dtype": "float32", "train.batch_size": 4})
+    s = cfg.detector.surface_normal_len
+    rng = np.random.default_rng(1)
+    pc = (rng.normal(size=(4, 192, 3)) * 40).astype(np.float32)
+    sn = rng.normal(size=(4, 192, s)).astype(np.float32)
+    pc16, sn16 = pc.astype(np.float16), sn.astype(np.float16)
+
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    eval_step = jax.jit(make_detector_eval_step(cfg, model))
+    key = jax.random.PRNGKey(7)
+    packed = PackedParentBatch(
+        x=jnp.asarray(np.concatenate([pc16, sn16], axis=-1)))
+    two = ParentBatch(pc=jnp.asarray(pc16), sn=jnp.asarray(sn16))
+    l_p = float(eval_step(state, packed, key)["loss"])
+    l_2 = float(eval_step(state, two, key)["loss"])
+    assert l_p == l_2
+
+
 def test_engine_with_parent_loader(tmp_path):
     """DetectorEngine trains through the ParentCloudDataset view + fp16 wire."""
     from usip_tpu.data.loaders import ParentCloudDataset

@@ -210,7 +210,14 @@ class DataConfig:
     # scale) — see train/steps.py _as_siamese
     device_sampling_mode: str = "slice"
     # dtype of point/normal arrays on the wire; float16 halves transfer bytes
-    # (decoded to float32 on device before any geometry)
+    # (decoded to float32 on device before any geometry). 'quant' (parent-
+    # cloud wire mode only) packs coords as int16 + normals as int8 with
+    # per-cloud scales — 10 bytes/pt vs float16's 14 at S=4, and *tighter*
+    # coordinates than fp16 at LiDAR range (uniform ~1.5 mm at 100 m vs
+    # fp16's ~4 cm mantissa step). 'float16_packed' (parent mode only)
+    # concatenates [pc|sn] into ONE fp16 buffer so the latency-dominated
+    # transport pays a single per-transfer RPC instead of two
+    # (PERFORMANCE.md "wire format A/B")
     wire_dtype: str = "float32"
 
 

@@ -13,7 +13,10 @@ from usip_tpu.train.state import (
 from usip_tpu.train.steps import (
     DescriptorBatch,
     DetectorBatch,
+    PackedParentBatch,
     ParentBatch,
+    QuantParentBatch,
+    quantize_parent,
     make_descriptor_train_step,
     make_detector_eval_step,
     make_detector_infer,
@@ -27,7 +30,10 @@ __all__ = [
     "set_learning_rate",
     "DescriptorBatch",
     "DetectorBatch",
+    "PackedParentBatch",
     "ParentBatch",
+    "QuantParentBatch",
+    "quantize_parent",
     "make_descriptor_train_step",
     "make_detector_eval_step",
     "make_detector_infer",

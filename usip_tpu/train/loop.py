@@ -177,11 +177,20 @@ class DetectorEngine:
         return self.start_epoch
 
     def _device_batch(self, raw: Dict[str, np.ndarray]):
-        wire16 = self.cfg.data.wire_dtype == "float16"
-        cast = (lambda a: np.asarray(a, np.float16)) if wire16 \
+        wire = self.cfg.data.wire_dtype
+        cast = (lambda a: np.asarray(a, np.float16)) if wire != "float32" \
             else (lambda a: a)
         if "pc" in raw:  # parent-cloud wire mode (data.device_sampling)
-            batch = ParentBatch(pc=cast(raw["pc"]), sn=cast(raw["sn"]))
+            if wire == "quant":
+                from usip_tpu.train.steps import quantize_parent
+                batch = quantize_parent(raw["pc"], raw["sn"])
+            elif wire == "float16_packed":
+                from usip_tpu.train.steps import PackedParentBatch
+                batch = PackedParentBatch(x=np.concatenate(
+                    [np.asarray(raw["pc"], np.float16),
+                     np.asarray(raw["sn"], np.float16)], axis=-1))
+            else:
+                batch = ParentBatch(pc=cast(raw["pc"]), sn=cast(raw["sn"]))
         else:
             batch = DetectorBatch(
                 src_pc=cast(raw["src_pc"]), src_sn=cast(raw["src_sn"]),

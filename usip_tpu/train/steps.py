@@ -52,6 +52,48 @@ class ParentBatch(NamedTuple):
     sn: Array   # (B, P, S)
 
 
+class PackedParentBatch(NamedTuple):
+    """Single-buffer parent wire (cfg.data.wire_dtype='float16_packed'):
+    [pc | sn] concatenated channels-last in one fp16 array. On
+    latency-dominated transports (the remote serving tunnel: ~25-45 ms RPC
+    *per transfer*, PERFORMANCE.md) one device_put instead of two can be
+    worth more than byte-level compression — the 4-array 'quant' format
+    LOST engine throughput (112 vs 160 clouds/s) despite 1.4x fewer bytes.
+    See PERFORMANCE.md "wire format A/B" for the measured numbers."""
+
+    x: Array  # (B, P, 3+S): [:, :, :3] coords, [:, :, 3:] normals
+
+
+class QuantParentBatch(NamedTuple):
+    """Quantized parent-cloud wire (cfg.data.wire_dtype='quant'): coords as
+    int16 + normals as int8 with per-cloud fp32 scales. 10 bytes/pt at S=4 vs
+    float16's 14, and a *uniform* coordinate grid (max_abs/32767 — ~1.5 mm at
+    100 m LiDAR range) instead of fp16's range-dependent mantissa step
+    (~4 cm at 100 m). Encoded by the engine's prefetch thread
+    (train/loop.py _device_batch), decoded to fp32 on device before any
+    geometry (_as_siamese)."""
+
+    pc_q: Array      # (B, P, 3) int16
+    sn_q: Array      # (B, P, S) int8
+    pc_scale: Array  # (B, 1, 1) fp32: pc ~= pc_q * pc_scale
+    sn_scale: Array  # (B, 1, S) fp32: sn ~= sn_q * sn_scale
+
+
+def quantize_parent(pc: "np.ndarray", sn: "np.ndarray") -> QuantParentBatch:
+    """Host-side encode (numpy) for the 'quant' wire format."""
+    import numpy as np
+    pc = np.asarray(pc, np.float32)
+    sn = np.asarray(sn, np.float32)
+    pc_s = np.maximum(np.max(np.abs(pc), axis=(1, 2), keepdims=True),
+                      1e-12) / 32767.0
+    sn_s = np.maximum(np.max(np.abs(sn), axis=1, keepdims=True),
+                      1e-12) / 127.0
+    pc_q = np.rint(pc / pc_s).astype(np.int16)
+    sn_q = np.rint(sn / sn_s).astype(np.int8)
+    return QuantParentBatch(pc_q, sn_q, pc_s.astype(np.float32),
+                            sn_s.astype(np.float32))
+
+
 def _device_subsample(key: Array, pc: Array, sn: Array, n: int):
     """Independent n-of-P uniform subsample without replacement per batch item
     (device analog of data/common.py subsample_fixed for P >= n): top-k of iid
@@ -74,6 +116,11 @@ def _as_siamese(key: Array, batch, cfg: Config):
     fixed vs 13107 +- 50). 'topk' mode draws two exactly-independent uniform
     subsets via top-k of iid scores (~30 ms/step at kitti scale)."""
     f32 = lambda x: x.astype(jnp.float32)
+    if isinstance(batch, QuantParentBatch):
+        batch = ParentBatch(pc=f32(batch.pc_q) * batch.pc_scale,
+                            sn=f32(batch.sn_q) * batch.sn_scale)
+    if isinstance(batch, PackedParentBatch):
+        batch = ParentBatch(pc=batch.x[:, :, :3], sn=batch.x[:, :, 3:])
     if isinstance(batch, ParentBatch):
         n = cfg.data.input_pc_num
         pc, sn = f32(batch.pc), f32(batch.sn)
