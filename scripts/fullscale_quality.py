@@ -13,6 +13,17 @@ Phases (run separately so the long train can sit in the background):
 
 ``eval`` prints one JSON line with repeatability for: trained/defaults,
 trained/fp32+exact-FPS, untrained/defaults, random keypoints.
+
+Round-3 extension — the COMPLETE pipeline (the reference's headline KITTI
+protocol, evaluate_kitti.m: detector keypoints + descriptors + 1-NN matching +
+RANSAC registration success rate):
+
+  python scripts/fullscale_quality.py train-desc --root /tmp/synth_kitti
+  python scripts/fullscale_quality.py eval-reg   --root /tmp/synth_kitti
+
+``eval-reg`` exports keypoint+descriptor .bin trees with the trained detector
+and A/Bs the trained descriptor against an untrained (random-init) one through
+`run_registration` (RTE<=2 m, RRE<=5 deg success, coord-fixed).
 """
 
 import argparse
@@ -121,6 +132,85 @@ def phase_eval(args):
     print(json.dumps(results))
 
 
+def _detector_ckpt(root):
+    ckpt = os.path.join(root, "ckpt", "fullscale", "best.msgpack")
+    if not os.path.exists(ckpt):
+        ckpt = os.path.join(root, "ckpt", "fullscale", "last.msgpack")
+    return ckpt
+
+
+def phase_train_desc(args):
+    """Train the kitti-preset descriptor on the frozen full-scale detector
+    (reference: kitti/train_descriptor.py — frozen detector + scan triplet /
+    pose-distance negative mining)."""
+    from usip_tpu.cli import main as cli_main
+    argv = ["train-descriptor", "--dataset", "kitti", "--dataroot", args.root,
+            "--name", "fullscale", "--epochs", str(args.epochs),
+            "--checkpoints-dir", os.path.join(args.root, "ckpt"),
+            "--detector-checkpoint", _detector_ckpt(args.root),
+            "--override", "train.log_every=20"]
+    cli_main(argv)
+
+
+def _export_and_reg(cfg, det_ckpt, desc_ckpt, out_root, gt, calib_root,
+                    desired=128, max_trials=10000):
+    from usip_tpu.data.eval_loaders import KittiTestFrames
+    from usip_tpu.eval.eval_runner import make_coord_fix, run_registration
+    from usip_tpu.eval.export_runner import run_export_with_descriptors
+
+    sn = cfg.detector.surface_normal_len
+    ds = KittiTestFrames(
+        cfg.data, txt_root=os.path.join(cfg.data.dataroot, "kitti-reg-test"),
+        numpy_root=os.path.join(cfg.data.dataroot, "data_odometry_velodyne",
+                                "numpy"), seqs=(9, 10), sn_len=sn, seed=0)
+    kp_dir = os.path.join(out_root, "keypoints")
+    desc_dir = os.path.join(out_root, "descriptors")
+    stats = run_export_with_descriptors(
+        cfg, detector_checkpoint=det_ckpt, descriptor_checkpoint=desc_ckpt,
+        kp_out=kp_dir, desc_out=desc_dir, desired_num=desired, dataset=ds)
+    res = run_registration(kp_dir, desc_dir, gt,
+                           desc_dim=cfg.descriptor.descriptor_len,
+                           max_trials=max_trials,
+                           coord_fix=make_coord_fix("kitti", calib_root))
+    return {"frames": stats["frames"], **res._asdict()}
+
+
+def phase_eval_reg(args):
+    """Full-pipeline registration A/B: trained vs untrained descriptor, both on
+    the trained detector's keypoints (evaluate_kitti.m protocol: 1-NN matching
+    -> RANSAC -> success iff RTE<=2 m and RRE<=5 deg)."""
+    from usip_tpu.eval.eval_runner import load_kitti_gt_table
+    from usip_tpu.train.checkpoint import save_checkpoint
+    from usip_tpu.train.descriptor_loop import init_descriptor_state
+
+    gt = []
+    for seq in (9, 10):
+        gt.extend(load_kitti_gt_table(
+            os.path.join(args.root, "kitti-reg-test"), seq))
+    calib_root = os.path.join(args.root, "calib")
+    det_ckpt = _detector_ckpt(args.root)
+    desc_dir = os.path.join(args.root, "ckpt", "fullscale_descriptor")
+    desc_ckpt = os.path.join(desc_dir, "best.msgpack")
+    if not os.path.exists(desc_ckpt):
+        desc_ckpt = os.path.join(desc_dir, "last.msgpack")
+
+    cfg = _cfg(args)
+    results = {"phase": "eval-reg", "pairs": len(gt)}
+    results["trained_desc"] = _export_and_reg(
+        cfg, det_ckpt, desc_ckpt, os.path.join(args.root, "reg_trained"),
+        gt, calib_root)
+
+    # untrained (random-init) descriptor on the same trained keypoints —
+    # isolates what descriptor learning adds to the end metric
+    _, dstate = init_descriptor_state(cfg, seed=321)
+    upath = os.path.join(args.root, "ckpt", "untrained_desc.msgpack")
+    save_checkpoint(upath, dstate)
+    results["untrained_desc"] = _export_and_reg(
+        cfg, det_ckpt, upath, os.path.join(args.root, "reg_untrained"),
+        gt, calib_root)
+    print(json.dumps(results))
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="phase", required=True)
@@ -136,6 +226,13 @@ def main():
     e = sub.add_parser("eval")
     e.add_argument("--root", default="/tmp/synth_kitti")
     e.set_defaults(fn=phase_eval)
+    td = sub.add_parser("train-desc")
+    td.add_argument("--root", default="/tmp/synth_kitti")
+    td.add_argument("--epochs", type=int, default=30)
+    td.set_defaults(fn=phase_train_desc)
+    er = sub.add_parser("eval-reg")
+    er.add_argument("--root", default="/tmp/synth_kitti")
+    er.set_defaults(fn=phase_eval_reg)
     args = ap.parse_args()
     args.fn(args)
 
