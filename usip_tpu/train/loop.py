@@ -178,6 +178,9 @@ class DetectorEngine:
 
     def _device_batch(self, raw: Dict[str, np.ndarray]):
         wire = self.cfg.data.wire_dtype
+        if wire not in ("float32", "float16", "float16_packed", "quant"):
+            raise ValueError(f"unknown data.wire_dtype {wire!r}; expected "
+                             "float32 | float16 | float16_packed | quant")
         cast = (lambda a: np.asarray(a, np.float16)) if wire != "float32" \
             else (lambda a: a)
         if "pc" in raw:  # parent-cloud wire mode (data.device_sampling)
