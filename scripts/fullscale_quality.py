@@ -45,11 +45,23 @@ def phase_gen(args):
     print(json.dumps({"phase": "gen", "root": args.root, "counts": counts}))
 
 
+def _parse_overrides(args):
+    out = {}
+    for kv in getattr(args, "override", None) or []:
+        k, v = kv.split("=", 1)
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
 def _cfg(args, **extra):
     from usip_tpu.config import get_config
     over = {"data.dataroot": args.root, "train.batch_size": 8,
             "train.checkpoint_dir": os.path.join(args.root, "ckpt"),
             "train.name": "fullscale"}
+    over.update(_parse_overrides(args))
     over.update(extra)
     return get_config("kitti", **over)
 
@@ -60,6 +72,8 @@ def phase_train(args):
             "--name", "fullscale", "--epochs", str(args.epochs),
             "--checkpoints-dir", os.path.join(args.root, "ckpt"),
             "--override", "train.log_every=20"]
+    for kv in getattr(args, "override", None) or []:
+        argv += ["--override", kv]
     cli_main(argv)
 
 
@@ -149,6 +163,8 @@ def phase_train_desc(args):
             "--checkpoints-dir", os.path.join(args.root, "ckpt"),
             "--detector-checkpoint", _detector_ckpt(args.root),
             "--override", "train.log_every=20"]
+    for kv in getattr(args, "override", None) or []:
+        argv += ["--override", kv]
     cli_main(argv)
 
 
@@ -233,6 +249,11 @@ def main():
     er = sub.add_parser("eval-reg")
     er.add_argument("--root", default="/tmp/synth_kitti")
     er.set_defaults(fn=phase_eval_reg)
+    for p in (g, t, e, td, er):
+        p.add_argument("--override", action="append", default=[],
+                       help="dotted config override, e.g. detector.c1=32 "
+                            "(repeatable; lets the protocol run at reduced "
+                            "scale, e.g. a CPU smoke test)")
     args = ap.parse_args()
     args.fn(args)
 
