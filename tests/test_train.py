@@ -376,6 +376,18 @@ def test_quant_wire_round_trip_and_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_unknown_wire_dtype_raises():
+    from usip_tpu.train.loop import DetectorEngine
+
+    cfg = _tiny_config().with_overrides(**{"data.wire_dtype": "float8"})
+    engine = DetectorEngine.__new__(DetectorEngine)  # skip jit/init: only
+    engine.cfg = cfg                                 # _device_batch is tested
+    engine.mesh = None
+    with pytest.raises(ValueError, match="wire_dtype"):
+        engine._device_batch({"pc": np.zeros((1, 8, 3), np.float32),
+                              "sn": np.zeros((1, 8, 4), np.float32)})
+
+
 def test_packed_wire_matches_fp16_parent():
     """'float16_packed' wire: one [pc|sn] fp16 buffer decodes to exactly the
     same step inputs as the two-array fp16 wire (bit-identical loss)."""
