@@ -108,4 +108,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # tunnel down -> plugin raises; still emit JSON
+        print(json.dumps({
+            "metric": "kitti_16k_detection_clouds_per_sec_per_chip",
+            "value": 0.0, "unit": "clouds/sec/chip", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"}), flush=True)
+        raise
