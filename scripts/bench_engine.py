@@ -41,19 +41,24 @@ def main():
     from usip_tpu.data.pipeline import BatchLoader
     from usip_tpu.train.loop import DetectorEngine
 
+    # extra dotted overrides from argv, e.g. data.wire_dtype=quant
+    # (parsed before the tree build so a bad argument fails fast)
+    import json as _json
+    extra = {}
+    for a in sys.argv[1:]:
+        if "=" not in a:
+            raise SystemExit(f"bench_engine: arguments must be dotted "
+                             f"config overrides key=value, got {a!r}")
+        k, v = a.split("=", 1)
+        try:
+            extra[k] = _json.loads(v)
+        except _json.JSONDecodeError:
+            extra[k] = v
+
     root = tempfile.mkdtemp(prefix="bench_kitti_")
     try:
         frames = 16
         make_kitti_tree(root, seqs=9, frames=frames)
-        # extra dotted overrides from argv, e.g. data.wire_dtype=quant
-        import json as _json
-        extra = {}
-        for a in sys.argv[1:]:
-            k, v = a.split("=", 1)
-            try:
-                extra[k] = _json.loads(v)
-            except _json.JSONDecodeError:
-                extra[k] = v
         cfg = get_config("kitti", **{
             "data.dataroot": root, "train.batch_size": 8,
             "train.log_every": 1000, "train.epochs": 2,

@@ -168,6 +168,15 @@ def test_knn_group_modules(rng):
     # after0 consumes the [max, h] virtual concat -> kernel width 2*8
     assert vf["params"]["after0"]["dense"]["kernel"].shape == (16, 12)
 
+    # default features_after=(): output is the materialized K-max of the
+    # virtual concat, i.e. [max(h), max(h)] doubled channels
+    fus0 = KNNFusionGroupModule((8, 8), k=4, normalization=None)
+    vf0 = fus0.init(jax.random.PRNGKey(2), coord, x)
+    _, ff0 = fus0.apply(vf0, coord, x)
+    assert ff0.shape == (2, 24, 16)
+    np.testing.assert_allclose(np.asarray(ff0[..., :8]),
+                               np.asarray(ff0[..., 8:]), atol=1e-6)
+
 
 def test_upconv_doubles_spatial(rng):
     """UpConv (models/layers.py:219-245): 2x nearest upsample + 3x3 SAME conv,

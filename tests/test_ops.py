@@ -466,6 +466,20 @@ def test_smallest_k_twostage_bit_parity(rng):
         np.testing.assert_array_equal(np.asarray(di), np.asarray(ti))
 
 
+def test_smallest_k_twostage_k_over_chunk_raises(rng):
+    """Forced twostage with k > chunk raises a clear error (the auto path
+    already falls back to direct for such k)."""
+    from usip_tpu.ops.topk import _CHUNK, smallest_k
+
+    s = jnp.asarray(rng.normal(size=(2, 8192)).astype(np.float32))
+    with pytest.raises(ValueError, match="twostage"):
+        smallest_k(s, _CHUNK + 1, method="twostage")
+    v, i = smallest_k(s, _CHUNK + 1, method="auto")  # falls back to direct
+    dv, di = smallest_k(s, _CHUNK + 1, method="direct")
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(dv))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(di))
+
+
 def test_smallest_k_twostage_padding(rng):
     """Non-chunk-divisible rows pad with +inf; parity must still hold and no
     out-of-range index may surface while finite entries remain."""

@@ -364,3 +364,25 @@ def test_sharded_describe_global_context_bf16(mesh, rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(sh_desc), np.asarray(ref_desc),
                                atol=1e-5)
+
+
+def test_initialize_distributed_strong_marker_raises(monkeypatch):
+    """An explicit coordination marker (TPU_WORKER_HOSTNAMES) means this IS a
+    multi-process job: a failed initialize() must raise, or N hosts would
+    silently train independently over a shared checkpoint dir."""
+    from usip_tpu.parallel.mesh import initialize_distributed
+
+    for marker in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                   "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_JOB_ID",
+                   "OMPI_COMM_WORLD_SIZE", "KUBERNETES_SERVICE_HOST"):
+        monkeypatch.delenv(marker, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+
+    import jax as _jax
+
+    def _boom(*a, **k):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(_jax.distributed, "initialize", _boom)
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        initialize_distributed()

@@ -44,6 +44,22 @@ def test_tp_forward_matches_single_device(mesh, rng):
     np.testing.assert_allclose(np.asarray(sig), np.asarray(ref_sig), atol=1e-3)
 
 
+def test_tp_forward_prepared_params_reused(mesh, rng):
+    """Passing pre-sharded (tp, rp) gives identical results — the serving-loop
+    form that avoids re-slicing every kernel per call."""
+    from usip_tpu.parallel.tensor_parallel import shard_tp_params
+
+    cfg, model, variables, inputs = _setup(rng)
+    prepared = shard_tp_params(cfg, variables, mesh.devices.size)
+    _, kp0, sig0 = tensor_parallel_detector_forward(mesh, cfg, variables,
+                                                    *inputs)
+    _, kp1, sig1 = tensor_parallel_detector_forward(mesh, cfg, variables,
+                                                    *inputs,
+                                                    tp_params=prepared)
+    np.testing.assert_array_equal(np.asarray(kp0), np.asarray(kp1))
+    np.testing.assert_array_equal(np.asarray(sig0), np.asarray(sig1))
+
+
 def test_tp_forward_bf16_close(mesh, rng):
     """bf16 compute: approximate parity (partials round before the psum)."""
     cfg, model, variables, inputs = _setup(

@@ -66,10 +66,7 @@ def select_keypoints(keypoints: np.ndarray, sigmas: np.ndarray, pc: np.ndarray, 
     if not return_sigmas:
         return ensure_keypoint_number(kp, pc, desired_num, rng)
     rng = rng or np.random.default_rng()
-    k = kp.shape[0]
-    if k > desired_num:
-        sel = rng.choice(k, desired_num, replace=False)
-        return kp[sel], sig[sel]
+    k = kp.shape[0]  # <= desired_num: trimmed sigma-sorted above
     if k < desired_num:
         extra = pc[rng.choice(pc.shape[0], desired_num - k, replace=False)]
         kp = np.concatenate([kp, extra], axis=0)

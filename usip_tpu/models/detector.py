@@ -110,6 +110,51 @@ def _dtype_of(cfg) -> "jnp.dtype | None":
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
 
+def sub_vars(variables, name):
+    """One submodule's {params, batch_stats} slice of a full variables tree —
+    for paths that replay submodules by name (sharded/TP/fused inference)."""
+    out = {"params": variables["params"][name]}
+    if "batch_stats" in variables and name in variables["batch_stats"]:
+        out["batch_stats"] = variables["batch_stats"][name]
+    return out
+
+
+def som_trunk_eval(cfg, variables, pc, sn, node):
+    """Eval-mode replay of ``Detector._som_trunk`` by submodule name, shared by
+    the inference paths that re-implement the downstream stages (the
+    tensor-parallel and fused-Pallas forwards). Numerically identical to the
+    in-module trunk at ``train=False``; takes the full ``Config``."""
+    dcfg = cfg.detector
+    m = node.shape[1]
+    dt = _dtype_of(dcfg)
+    assign = assign_points_to_nodes(pc, node, k=dcfg.k, compute_dtype=dt)
+    ids = assign.ids
+    occ = assign.occupancy[..., None]
+    pc_stack = jnp.tile(pc, (1, dcfg.k, 1))
+    cluster_mean, _ = segment_mean_count(pc_stack, ids, m)
+    centers = scatter_back(cluster_mean, ids)
+    decentered = pc_stack - centers
+    if dcfg.surface_normal_len:
+        sn_stack = jnp.tile(sn, (1, dcfg.k, 1))
+        x_aug = jnp.concatenate([decentered, sn_stack], axis=-1)
+    else:
+        x_aug = decentered
+    c1 = dcfg.c1
+    mlp1 = SharedMLP((c1 // 2,) * 3, activation=dcfg.activation,
+                     normalization=dcfg.normalization, dtype=dt)
+    f1 = mlp1.apply(sub_vars(variables, "first_pointnet"), x_aug,
+                    train=False).astype(jnp.float32)
+    n1 = masked_scatter_max(f1, ids, m, dcfg.scatter_backend) * occ
+    s1 = scatter_back(n1, ids)
+    mlp2 = SharedMLP((c1, c1), activation=dcfg.activation,
+                     normalization=dcfg.normalization, dtype=dt)
+    f2 = mlp2.apply(sub_vars(variables, "second_pointnet"),
+                    jnp.concatenate([f1, s1], axis=-1),
+                    train=False).astype(jnp.float32)
+    n2 = masked_scatter_max(f2, ids, m, dcfg.scatter_backend) * occ
+    return cluster_mean, n2
+
+
 class Detector(nn.Module):
     """USIP keypoint detector; grouping variant selected by ``cfg.grouping``."""
 

@@ -324,6 +324,11 @@ class KNNFusionGroupModule(KNNGroupModule):
                                name=f"before{i}")(h, train, bn_momentum)
         h_max = jnp.max(h, axis=-2, keepdims=True)
         y = (h_max, h)  # virtual concat [max, h] (layers.py:516)
+        if not self.features_after:
+            # no post-MLPs: the K-max of the channel-concat is the concat of
+            # the per-piece K-maxes (h_max is K-constant)
+            return center, jnp.concatenate(
+                [h_max[..., 0, :], jnp.max(h, axis=-2)], axis=-1)
         for i, c in enumerate(self.features_after):
             y = PointwiseLayer(c, activation=self.activation,
                                normalization=self.normalization,

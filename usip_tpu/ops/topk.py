@@ -45,6 +45,10 @@ def smallest_k(scores: Array, k: int, *, method: str = "auto"):
     n = scores.shape[-1]
     if method not in ("auto", "direct", "twostage"):
         raise ValueError(f"unknown smallest_k method {method!r}")
+    if method == "twostage" and k > _CHUNK:
+        raise ValueError(f"smallest_k(method='twostage') requires k <= chunk "
+                         f"size {_CHUNK}, got k={k}; use method='auto' or "
+                         "'direct'")
     use_twostage = method == "twostage" or (
         method == "auto" and n >= _TWOSTAGE_MIN_N and k <= _CHUNK)
     if not use_twostage:

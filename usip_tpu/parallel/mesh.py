@@ -44,26 +44,33 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         # advertises a multi-process coordination service. Attempting a bare
         # initialize() on a plain single-process box raises (by design); a
         # silent swallow would also hide real misconfigurations on pods.
-        env_markers = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-                       "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
-                       # cluster schedulers jax.distributed auto-detects
-                       "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
-                       "KUBERNETES_SERVICE_HOST")
-        if not any(os.environ.get(m) for m in env_markers):
+        # explicit coordination markers: this IS a multi-process job; a failed
+        # initialize() must raise, or N hosts would silently train the full
+        # dataset independently while sharing a checkpoint dir
+        strong = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                  "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
+        # cluster schedulers jax.distributed auto-detects — set for ANY job in
+        # those environments, including single-process ones with no
+        # coordinator, so failure here degrades gracefully (but loudly)
+        weak = ("SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+                "KUBERNETES_SERVICE_HOST")
+        if any(os.environ.get(m) for m in strong):
+            jax.distributed.initialize()
+            return
+        if not any(os.environ.get(m) for m in weak):
             logging.getLogger(__name__).info(
                 "initialize_distributed: no coordination environment detected "
-                "(%s unset); staying single-process", "/".join(env_markers))
+                "(%s unset); staying single-process",
+                "/".join(strong + weak))
             return
-        # Markers like SLURM_JOB_ID/KUBERNETES_SERVICE_HOST are set for ANY
-        # job in those environments, including single-process ones with no
-        # coordinator — degrade gracefully (but loudly) instead of raising.
         try:
             jax.distributed.initialize()
         except Exception as exc:  # noqa: BLE001 - warn-and-continue by design
             logging.getLogger(__name__).warning(
-                "initialize_distributed: auto-detect initialize() failed (%s); "
-                "continuing single-process. Pass coordinator_address/"
-                "num_processes/process_id explicitly for multi-host runs.", exc)
+                "initialize_distributed: auto-detect initialize() failed (%s) "
+                "under a scheduler marker (%s); continuing single-process. "
+                "Pass coordinator_address/num_processes/process_id explicitly "
+                "for multi-host runs.", exc, "/".join(weak))
     else:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,

@@ -42,16 +42,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from usip_tpu.config import Config
-from usip_tpu.models.detector import _dtype_of
-from usip_tpu.nn.layers import SharedMLP, activation_fn
-from usip_tpu.ops import (
-    assign_points_to_nodes,
-    gather_points,
-    knn,
-    masked_scatter_max,
-    scatter_back,
-    segment_mean_count,
-)
+from usip_tpu.models.detector import _dtype_of, som_trunk_eval
+from usip_tpu.nn.layers import activation_fn
+from usip_tpu.ops import gather_points, knn
 
 Array = jax.Array
 
@@ -64,13 +57,6 @@ def make_channel_mesh(num_devices: Optional[int] = None) -> Mesh:
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (CHANNEL_AXIS,))
-
-
-def _sub_vars(variables, name):
-    sub = {"params": variables["params"][name]}
-    if "batch_stats" in variables and name in variables["batch_stats"]:
-        sub["batch_stats"] = variables["batch_stats"][name]
-    return sub
 
 
 # ------------------------------------------------------------- param slicing --
@@ -155,45 +141,17 @@ def shard_tp_params(cfg: Config, variables, n_shards: int):
 
 # ------------------------------------------------------------------ forward --
 
-def _replicated_som_trunk(cfg: Config, variables, pc, sn, node):
-    """Exact single-chip SOM trunk (models/detector.py:145-181), eval mode."""
-    dcfg = cfg.detector
-    m = node.shape[1]
-    dt = _dtype_of(dcfg)
-    assign = assign_points_to_nodes(pc, node, k=dcfg.k, compute_dtype=dt)
-    ids = assign.ids
-    occ = assign.occupancy[..., None]
-    pc_stack = jnp.tile(pc, (1, dcfg.k, 1))
-    cluster_mean, _ = segment_mean_count(pc_stack, ids, m)
-    centers = scatter_back(cluster_mean, ids)
-    decentered = pc_stack - centers
-    if dcfg.surface_normal_len:
-        sn_stack = jnp.tile(sn, (1, dcfg.k, 1))
-        x_aug = jnp.concatenate([decentered, sn_stack], axis=-1)
-    else:
-        x_aug = decentered
-    c1 = dcfg.c1
-    mlp1 = SharedMLP((c1 // 2,) * 3, activation=dcfg.activation,
-                     normalization=dcfg.normalization, dtype=dt)
-    f1 = mlp1.apply(_sub_vars(variables, "first_pointnet"), x_aug,
-                    train=False).astype(jnp.float32)
-    n1 = masked_scatter_max(f1, ids, m, dcfg.scatter_backend) * occ
-    s1 = scatter_back(n1, ids)
-    mlp2 = SharedMLP((c1, c1), activation=dcfg.activation,
-                     normalization=dcfg.normalization, dtype=dt)
-    f2 = mlp2.apply(_sub_vars(variables, "second_pointnet"),
-                    jnp.concatenate([f1, s1], axis=-1),
-                    train=False).astype(jnp.float32)
-    n2 = masked_scatter_max(f2, ids, m, dcfg.scatter_backend) * occ
-    return cluster_mean, n2
-
-
 def tensor_parallel_detector_forward(mesh: Mesh, cfg: Config, variables,
-                                     pc: Array, sn: Array, node: Array
+                                     pc: Array, sn: Array, node: Array,
+                                     tp_params=None
                                      ) -> Tuple[Array, Array, Array]:
     """SOM-detector forward with fusion-block/head channels sharded over
     ``mesh``'s ``channels`` axis. Same signature/returns as ``Detector.apply``
-    (anchors, keypoints, sigmas), all replicated."""
+    (anchors, keypoints, sigmas), all replicated.
+
+    ``tp_params``: the ``(tp, rp)`` pair from ``shard_tp_params``. Pass it in
+    serving loops so the kernel reshape/slicing runs once at setup, not per
+    call (when None it is recomputed here — fine for one-shot use)."""
     dcfg = cfg.detector
     assert dcfg.grouping == "som", "TP forward implemented for the som detector"
     d = mesh.devices.size
@@ -201,7 +159,7 @@ def tensor_parallel_detector_forward(mesh: Mesh, cfg: Config, variables,
     dt = _dtype_of(dcfg) or jnp.float32
     act = activation_fn(dcfg.activation)
 
-    anchors, feat = _replicated_som_trunk(cfg, variables, pc, sn, node)
+    anchors, feat = som_trunk_eval(cfg, variables, pc, sn, node)
 
     # node-kNN grouping: tiny O(M^2), replicated (models/detector.py:62-67)
     _, idx = knn(anchors, anchors, dcfg.node_knn_k)
@@ -210,7 +168,8 @@ def tensor_parallel_detector_forward(mesh: Mesh, cfg: Config, variables,
     decentered = neigh_coord - anchors[:, :, None, :]
     h0 = jnp.concatenate([decentered, neigh_feat], axis=-1)  # (B, M, K, 3+C1)
 
-    tp, rp = shard_tp_params(cfg, variables, d)
+    tp, rp = tp_params if tp_params is not None \
+        else shard_tp_params(cfg, variables, d)
 
     def bn(y, m, v, s, b):
         y32 = (y.astype(jnp.float32) - m) * jax.lax.rsqrt(v + 1e-5)

@@ -195,6 +195,11 @@ class DetectorEngine:
             else:
                 batch = ParentBatch(pc=cast(raw["pc"]), sn=cast(raw["sn"]))
         else:
+            if wire in ("quant", "float16_packed"):
+                raise ValueError(
+                    f"data.wire_dtype={wire!r} requires parent-cloud wire "
+                    "mode (data.device_sampling=true); the siamese "
+                    "DetectorBatch path supports float32/float16 only")
             batch = DetectorBatch(
                 src_pc=cast(raw["src_pc"]), src_sn=cast(raw["src_sn"]),
                 dst_pc=cast(raw["dst_pc"]), dst_sn=cast(raw["dst_sn"]))
