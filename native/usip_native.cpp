@@ -22,6 +22,59 @@
 #include <thread>
 #include <vector>
 
+#if defined(__F16C__)
+#include <immintrin.h>
+#endif
+
+// fp32 -> fp16 (round-to-nearest-even, matching numpy astype(float16)).
+// Hardware F16C when the build has it (-march=native on any modern x86);
+// portable bit-twiddling fallback otherwise.
+static void f32_to_f16(const float* src, int64_t n, uint16_t* dst) {
+#if defined(__F16C__)
+  int64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    __m256 v = _mm256_loadu_ps(src + i);
+    __m128i h = _mm256_cvtps_ph(v, _MM_FROUND_TO_NEAREST_INT |
+                                       _MM_FROUND_NO_EXC);
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(dst + i), h);
+  }
+  for (; i < n; ++i)
+    dst[i] = _cvtss_sh(src[i], _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC);
+#else
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t x;
+    std::memcpy(&x, src + i, 4);
+    uint32_t sign = (x >> 16) & 0x8000u;
+    int32_t exp = (int32_t)((x >> 23) & 0xFF) - 127 + 15;
+    uint32_t mant = x & 0x7FFFFFu;
+    uint16_t h;
+    if (((x >> 23) & 0xFF) == 0xFF) {           // inf / nan
+      h = (uint16_t)(sign | 0x7C00u | (mant ? 0x200u : 0));
+    } else if (exp >= 0x1F) {                   // overflow -> inf
+      h = (uint16_t)(sign | 0x7C00u);
+    } else if (exp <= 0) {                      // subnormal / zero
+      if (exp < -10) {
+        h = (uint16_t)sign;
+      } else {
+        mant |= 0x800000u;
+        int shift = 14 - exp;
+        uint32_t half = mant >> shift;
+        uint32_t rem = mant & ((1u << shift) - 1);
+        uint32_t mid = 1u << (shift - 1);
+        if (rem > mid || (rem == mid && (half & 1))) half++;
+        h = (uint16_t)(sign | half);
+      }
+    } else {
+      uint32_t half = (uint32_t)(exp << 10) | (mant >> 13);
+      uint32_t rem = mant & 0x1FFFu;
+      if (rem > 0x1000u || (rem == 0x1000u && (half & 1))) half++;
+      h = (uint16_t)(sign | half);
+    }
+    dst[i] = h;
+  }
+#endif
+}
+
 extern "C" {
 
 // ---------------------------------------------------------------- RNG -------
@@ -225,9 +278,13 @@ int usip_npy_read_f32(const char* path, float* out, int64_t capacity) {
 // -------------------------------------------- thread-pooled batch loading ---
 // Load B npy files, subsample each to `target` rows, split xyz / sn channels.
 // paths: B concatenated zero-terminated strings. Returns 0 on success.
-int usip_batch_load_subsample(const char* const* paths, int64_t batch,
-                              int64_t target, int64_t sn_len, uint64_t seed,
-                              int threads, float* out_pc, float* out_sn) {
+// as_half: outputs are uint16-encoded fp16 (the engine's float16 wire encoded
+// here, GIL-free and F16C-accelerated, instead of a numpy astype pass on the
+// prefetch thread — PERFORMANCE.md "wire format A/B").
+static int batch_load_core(const char* const* paths, int64_t batch,
+                           int64_t target, int64_t sn_len, uint64_t seed,
+                           int threads, int as_half, void* out_pc,
+                           void* out_sn) {
   std::atomic<int64_t> next(0);
   std::atomic<int> status(0);
   int nthreads = threads > 0 ? threads
@@ -237,6 +294,9 @@ int usip_batch_load_subsample(const char* const* paths, int64_t batch,
   auto worker = [&]() {
     std::vector<float> buf;
     std::vector<float> sub;
+    std::vector<float> row_pc, row_sn;
+    row_pc.resize((size_t)(target * 3));
+    if (sn_len > 0) row_sn.resize((size_t)(target * sn_len));
     while (true) {
       int64_t b = next.fetch_add(1);
       if (b >= batch || status.load() != 0) break;
@@ -253,8 +313,10 @@ int usip_batch_load_subsample(const char* const* paths, int64_t batch,
       sub.resize((size_t)(target * cols));
       usip_subsample(buf.data(), rows, cols, target, seed + (uint64_t)b * 7919,
                      sub.data());
-      float* pc = out_pc + b * target * 3;
-      float* sn = out_sn + b * target * sn_len;
+      float* pc = as_half ? row_pc.data()
+                          : (float*)out_pc + b * target * 3;
+      float* sn = as_half ? row_sn.data()
+                          : (float*)out_sn + b * target * sn_len;
       for (int64_t i = 0; i < target; ++i) {
         std::memcpy(pc + i * 3, &sub[(size_t)(i * cols)], sizeof(float) * 3);
         if (sn_len == 1) {
@@ -264,6 +326,12 @@ int usip_batch_load_subsample(const char* const* paths, int64_t batch,
                       sizeof(float) * sn_len);
         }
       }
+      if (as_half) {
+        f32_to_f16(pc, target * 3, (uint16_t*)out_pc + b * target * 3);
+        if (sn_len > 0)
+          f32_to_f16(sn, target * sn_len,
+                     (uint16_t*)out_sn + b * target * sn_len);
+      }
     }
   };
 
@@ -271,6 +339,21 @@ int usip_batch_load_subsample(const char* const* paths, int64_t batch,
   for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
   return status.load();
+}
+
+int usip_batch_load_subsample(const char* const* paths, int64_t batch,
+                              int64_t target, int64_t sn_len, uint64_t seed,
+                              int threads, float* out_pc, float* out_sn) {
+  return batch_load_core(paths, batch, target, sn_len, seed, threads, 0,
+                         out_pc, out_sn);
+}
+
+int usip_batch_load_subsample_f16(const char* const* paths, int64_t batch,
+                                  int64_t target, int64_t sn_len,
+                                  uint64_t seed, int threads,
+                                  uint16_t* out_pc, uint16_t* out_sn) {
+  return batch_load_core(paths, batch, target, sn_len, seed, threads, 1,
+                         out_pc, out_sn);
 }
 
 }  // extern "C"

@@ -93,3 +93,49 @@ def test_batch_load_reflectance_mode(tmp_path, rng):
     assert sn.shape == (1, 32, 1)
     refl = set(np.round(a[:, -1], 5))
     assert all(np.round(v, 5) in refl for v in sn[0, :, 0])
+
+
+def test_batch_load_subsample_f16_matches_numpy_cast(tmp_path, rng):
+    """dtype=float16: the C++ thread pool encodes the fp16 wire with
+    round-to-nearest-even, bit-identical to numpy astype(float16) of the
+    fp32 load (same seed -> same subsample)."""
+    paths = []
+    for i in range(5):
+        a = (rng.normal(size=(150, 8)) * 1000).astype(np.float32)
+        a[0, :3] = [65520.0, 7e-8, -65520.0]  # overflow->inf, subnormal
+        p = str(tmp_path / f"h{i}.npy")
+        np.save(p, a)
+        paths.append(p)
+    pc32, sn32 = native.batch_load_subsample(paths, 64, 4, seed=3, threads=2)
+    pc16, sn16 = native.batch_load_subsample(paths, 64, 4, seed=3, threads=2,
+                                             dtype=np.float16)
+    assert pc16.dtype == np.float16 and sn16.dtype == np.float16
+    np.testing.assert_array_equal(pc16, pc32.astype(np.float16))
+    np.testing.assert_array_equal(sn16, sn32.astype(np.float16))
+
+
+def test_parent_get_batch_emits_wire_dtype(tmp_path, rng):
+    """ParentCloudDataset.get_batch emits float16 directly when the config's
+    wire_dtype is float16 (the numpy astype pass on the prefetch thread
+    disappears)."""
+    from usip_tpu.config import get_config
+    from usip_tpu.data.loaders import KittiDataset, ParentCloudDataset
+
+    from usip_tpu.data.loaders import KITTI_NP_FOLDER
+    for s_ in range(9):  # train mode lists seqs 00-08
+        folder = tmp_path / "data_odometry_velodyne" / "numpy" / f"{s_:02d}" \
+            / KITTI_NP_FOLDER
+        folder.mkdir(parents=True)
+    folder = tmp_path / "data_odometry_velodyne" / "numpy" / "00" / \
+        KITTI_NP_FOLDER
+    for i in range(4):
+        np.save(str(folder / f"{i:06d}.npy"),
+                rng.normal(size=(300, 8)).astype(np.float32))
+    cfg = get_config("kitti", **{
+        "data.dataroot": str(tmp_path), "data.parent_pc_num": 128,
+        "data.input_pc_num": 64, "data.wire_dtype": "float16"})
+    ds = ParentCloudDataset(KittiDataset(cfg.data, "train", sn_len=4))
+    batch = ds.get_batch([0, 1])
+    assert batch is not None
+    assert batch["pc"].dtype == np.float16
+    assert batch["sn"].dtype == np.float16

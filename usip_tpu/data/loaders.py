@@ -80,14 +80,21 @@ class SiameseDetectorDataset:
         if any(p is None for p in paths):
             return None
         n = self.cfg.input_pc_num
+        dt = self._wire_numpy_dtype()
         seed_src = int(self._rng.integers(0, 2 ** 62))
         seed_dst = int(self._rng.integers(0, 2 ** 62))
         src_pc, src_sn = native.batch_load_subsample(paths, n, self.sn_len,
-                                                     seed=seed_src)
+                                                     seed=seed_src, dtype=dt)
         dst_pc, dst_sn = native.batch_load_subsample(paths, n, self.sn_len,
-                                                     seed=seed_dst)
+                                                     seed=seed_dst, dtype=dt)
         return self.post_batch({"src_pc": src_pc, "src_sn": src_sn,
                                 "dst_pc": dst_pc, "dst_sn": dst_sn})
+
+    def _wire_numpy_dtype(self):
+        """float16 wire encodes in the native loader's thread pool (F16C),
+        saving the numpy astype pass on the single-core prefetch thread; other
+        wire formats load fp32 and encode downstream."""
+        return np.float16 if self.cfg.wire_dtype == "float16" else np.float32
 
 
 class ModelNetDataset(SiameseDetectorDataset):
@@ -433,7 +440,8 @@ class ParentCloudDataset:
             return None
         seed = int(self.base._rng.integers(0, 2 ** 62))
         pc, sn = native.batch_load_subsample(paths, self.parent_pc_num,
-                                             self.base.sn_len, seed=seed)
+                                             self.base.sn_len, seed=seed,
+                                             dtype=self.base._wire_numpy_dtype())
         return self.base.post_batch({"pc": pc, "sn": sn})
 
 

@@ -27,11 +27,21 @@ _load_failed = False
 
 
 def build(force: bool = False) -> bool:
-    """Build the shared library with make. Returns True on success."""
+    """Build the shared library with make. Returns True on success.
+
+    make's own mtime check makes this a ~30 ms no-op when the .so is current,
+    and transparently rebuilds when usip_native.cpp is newer (a stale .so
+    would miss newly added symbols)."""
     if os.path.exists(_SO_PATH) and not force:
-        return True
+        src = os.path.join(_NATIVE_DIR, "usip_native.cpp")
+        try:
+            if os.path.getmtime(_SO_PATH) >= os.path.getmtime(src):
+                return True
+        except OSError:
+            return True
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"] +
+                       (["-B"] if force else []), check=True,
                        capture_output=True)
         return os.path.exists(_SO_PATH)
     except (subprocess.CalledProcessError, FileNotFoundError):
@@ -67,6 +77,11 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_uint64, ctypes.c_int, f32p, f32p]
     lib.usip_batch_load_subsample.restype = ctypes.c_int
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.usip_batch_load_subsample_f16.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_uint64, ctypes.c_int, u16p, u16p]
+    lib.usip_batch_load_subsample_f16.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -153,14 +168,22 @@ def read_npy(path: str) -> np.ndarray:
 
 
 def batch_load_subsample(paths, target: int, sn_len: int, seed: int = 0,
-                         threads: int = 0
+                         threads: int = 0, dtype=np.float32
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Thread-pooled load+subsample+split of a batch of .npy clouds.
 
     Returns (pc (B, target, 3), sn (B, target, sn_len)).
+
+    ``dtype=np.float16`` encodes the fp16 wire in the C++ thread pool
+    (F16C round-to-nearest-even, identical to numpy ``astype(float16)``) so
+    the Python prefetch thread does no conversion pass at all.
     """
     lib = _get_lib()
     b = len(paths)
+    dtype = np.dtype(dtype)
+    if dtype not in (np.float32, np.float16):
+        raise ValueError(f"batch_load_subsample: dtype must be float32 or "
+                         f"float16, got {dtype}")
     if lib is None:
         from usip_tpu.data.common import split_pc_sn, subsample_fixed
         rng = np.random.default_rng(seed)
@@ -170,12 +193,20 @@ def batch_load_subsample(paths, target: int, sn_len: int, seed: int = 0,
             pc, sn = split_pc_sn(data, sn_len)
             pcs.append(pc)
             sns.append(sn)
-        return np.stack(pcs), np.stack(sns)
-    out_pc = np.empty((b, target, 3), np.float32)
-    out_sn = np.empty((b, target, max(sn_len, 1)), np.float32)
+        return (np.stack(pcs).astype(dtype, copy=False),
+                np.stack(sns).astype(dtype, copy=False))
+    out_pc = np.empty((b, target, 3), dtype)
+    out_sn = np.empty((b, target, max(sn_len, 1)), dtype)
     arr = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
-    rc = lib.usip_batch_load_subsample(arr, b, target, sn_len, seed, threads,
-                                       _fptr(out_pc), _fptr(out_sn))
+    if dtype == np.float16:
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        rc = lib.usip_batch_load_subsample_f16(
+            arr, b, target, sn_len, seed, threads,
+            out_pc.ctypes.data_as(u16p), out_sn.ctypes.data_as(u16p))
+    else:
+        rc = lib.usip_batch_load_subsample(arr, b, target, sn_len, seed,
+                                           threads, _fptr(out_pc),
+                                           _fptr(out_sn))
     if rc != 0:
         raise IOError(f"usip_batch_load_subsample failed: {rc}")
     return out_pc, out_sn[:, :, :sn_len]
