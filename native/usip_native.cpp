@@ -305,6 +305,14 @@ static int batch_load_core(const char* const* paths, int64_t batch,
         status.store(10);
         break;
       }
+      // sn_len==1 reads the LAST column (reflectance mode); otherwise the
+      // split needs 3 coord + sn_len normal columns — reject short rows
+      // instead of overreading into the next row / past the buffer
+      int64_t need = sn_len == 1 ? 4 : 3 + sn_len;
+      if (cols < need) {
+        status.store(12);
+        break;
+      }
       buf.resize((size_t)(rows * cols));
       if (usip_npy_read_f32(paths[b], buf.data(), rows * cols) != 0) {
         status.store(11);

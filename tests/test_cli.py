@@ -208,3 +208,21 @@ def test_cli_serve_loop(tmp_path):
     assert "error" in by_id[2]
     assert by_id[3]["n"] == 4
     assert lines[-1]["status"] == "bye"
+
+
+def test_build_config_override_beats_flag_default():
+    """--override train.num_devices=4 must not be clobbered by the unset
+    --num-devices flag defaulting to 1 (review finding)."""
+    import argparse
+
+    from usip_tpu.cli import _build_config
+
+    args = argparse.Namespace(
+        dataset="kitti", dataroot="", batch_size=None, epochs=None,
+        num_devices=1, name="train", checkpoints_dir="checkpoints",
+        synthetic=False, override=["train.num_devices=4",
+                                   "data.dataroot=/somewhere"],
+        profile_dir=None, platform=None)
+    cfg = _build_config(args)
+    assert cfg.train.num_devices == 4
+    assert cfg.data.dataroot == "/somewhere"

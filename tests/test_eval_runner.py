@@ -326,3 +326,22 @@ def test_run_export_no_dropped_tail_frames(tmp_path):
     gt = [{"seq": 0, "anc_idx": 16, "pos_idx": 16, "T_gt": np.eye(4)}]
     mean, arr = run_repeatability(out, out, gt, inlier_radius=0.1)
     assert mean == 1.0 and len(arr) == 1
+
+
+def test_load_gt_npy_dir_modelnet_rotated_layout(tmp_path):
+    """The <i>_gt.npy-next-to-clouds tree build_modelnet_rotated writes is
+    consumed directly: only *_gt.npy files are read as transforms."""
+    import numpy as np
+
+    from usip_tpu.eval.eval_runner import load_gt_npy_dir
+
+    for i in range(3):
+        np.save(str(tmp_path / f"{i}.npy"),
+                np.random.rand(50, 6).astype(np.float32))  # clouds, not GT
+        T = np.eye(4); T[0, 3] = i
+        np.save(str(tmp_path / f"{i}_gt.npy"), T)
+    rows = load_gt_npy_dir(str(tmp_path))
+    assert len(rows) == 3
+    assert sorted(r["anc_idx"] for r in rows) == [0, 1, 2]
+    assert all(r["T_gt"].shape == (4, 4) for r in rows)
+    assert rows[1]["T_gt"][0, 3] in (0.0, 1.0, 2.0)

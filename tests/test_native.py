@@ -139,3 +139,11 @@ def test_parent_get_batch_emits_wire_dtype(tmp_path, rng):
     assert batch is not None
     assert batch["pc"].dtype == np.float16
     assert batch["sn"].dtype == np.float16
+
+
+def test_batch_load_rejects_short_rows(tmp_path, rng):
+    """cols < 3+sn_len raises a clear error instead of overreading."""
+    p = str(tmp_path / "short.npy")
+    np.save(p, rng.normal(size=(50, 4)).astype(np.float32))
+    with pytest.raises(IOError, match="columns"):
+        native.batch_load_subsample([p], 32, 4)

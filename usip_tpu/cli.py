@@ -56,6 +56,10 @@ def _build_config(args, role="detector"):
         updates["train.batch_size"] = args.batch_size
     if args.epochs:
         updates["train.epochs"] = args.epochs
+    # an explicit --override always wins over a flag's *default* value (a
+    # --override train.num_devices=4 must not be clobbered by the unset
+    # --num-devices defaulting to 1)
+    updates = {k: v for k, v in updates.items() if k not in overrides}
     return cfg.with_overrides(**updates)
 
 
@@ -187,12 +191,15 @@ def cmd_export_keypoints(args):
                        nms_radius=args.nms_radius,
                        desired_num=args.num_keypoints,
                        synthetic=args.synthetic, method=args.method,
-                       noise_sigma=args.noise_sigma)
+                       noise_sigma=args.noise_sigma, subset=args.subset)
     print(json.dumps(stats))
 
 
 def cmd_export_descriptors(args):
-    cfg = _build_config(args)
+    # descriptor checkpoints are trained under role='descriptor' config deltas
+    # (lite detector widths for scenenn, descriptor-role node counts); build
+    # the matching config so restore_checkpoint sees the right shapes
+    cfg = _build_config(args, role="descriptor")
     from usip_tpu.eval.export_runner import run_export_with_descriptors
     stats = run_export_with_descriptors(
         cfg, detector_checkpoint=args.checkpoint,
@@ -214,7 +221,14 @@ def _load_gt(args):
         return gt
     if getattr(args, "oxford_root", None):
         return load_oxford_gt_pkl(args.oxford_root)
-    return load_gt_npy_dir(args.gt_dir)
+    if not args.gt_dir:
+        raise SystemExit("no groundtruth source: pass --gt-dir, --kitti-gt, "
+                         "or --oxford-root")
+    gt = load_gt_npy_dir(args.gt_dir)
+    if not gt:
+        raise SystemExit(f"no GT pairs found in --gt-dir {args.gt_dir!r} "
+                         "(expected <i>.npy or <i>_gt.npy 4x4 transforms)")
+    return gt
 
 
 def _coord_fix(args):
@@ -329,7 +343,10 @@ def cmd_detect(args):
 
     from usip_tpu.inference import KeypointPipeline
 
-    cfg = _build_config(args)
+    # with a descriptor checkpoint the descriptor-role config deltas apply
+    # (the descriptor engine trains its frozen detector at those widths)
+    cfg = _build_config(
+        args, role="descriptor" if args.descriptor_checkpoint else "detector")
     pipe = KeypointPipeline(cfg, args.checkpoint,
                             descriptor_checkpoint=args.descriptor_checkpoint)
     paths = sorted(globmod.glob(os.path.join(args.input, "*.npy"))
@@ -394,7 +411,8 @@ def cmd_serve(args):
 
     from usip_tpu.inference import KeypointPipeline
 
-    cfg = _build_config(args)
+    cfg = _build_config(
+        args, role="descriptor" if args.descriptor_checkpoint else "detector")
     pipe = KeypointPipeline(cfg, args.checkpoint,
                             descriptor_checkpoint=args.descriptor_checkpoint)
     s = cfg.detector.surface_normal_len
@@ -409,6 +427,10 @@ def cmd_serve(args):
             req = json.loads(line)
         except json.JSONDecodeError as e:
             print(json.dumps({"error": f"bad request: {e}"}), flush=True)
+            continue
+        if not isinstance(req, dict):
+            print(json.dumps({"error": "bad request: expected a JSON "
+                                       "object"}), flush=True)
             continue
         if req.get("cmd") == "shutdown":
             print(json.dumps({"status": "bye"}), flush=True)
@@ -508,6 +530,10 @@ def main(argv=None):
     p.add_argument("--downsample-rate", type=int, default=1,
                    help="detect on input_pc_num/rate points "
                         "(save_keypoints.py downsample_rate)")
+    p.add_argument("--subset", default="original",
+                   choices=["original", "rotated"],
+                   help="modelnet/shrec: which half of the rotated-pair "
+                        "repeatability protocol to export")
     p.set_defaults(fn=cmd_export_keypoints)
 
     p = sub.add_parser("export-descriptors")

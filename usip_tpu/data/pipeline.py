@@ -93,6 +93,21 @@ class BatchLoader:
         stop = threading.Event()
 
         get_batch = getattr(self.dataset, "get_batch", None)
+        # np.random.Generator is documented not-thread-safe: datasets with a
+        # shared ._rng must not run __getitem__ concurrently (duplicated or
+        # correlated subsample draws). The GIL already serializes most of the
+        # numpy work here, so the lock costs little; the parallel fast path
+        # is the GIL-free native get_batch above.
+        shared_rng = (hasattr(self.dataset, "_rng") or
+                      hasattr(getattr(self.dataset, "base", None), "_rng"))
+        rng_lock = threading.Lock() \
+            if (self.num_workers > 1 and shared_rng) else None
+
+        def fetch(i: int):
+            if rng_lock is None:
+                return self.dataset[int(i)]
+            with rng_lock:
+                return self.dataset[int(i)]
 
         def _put(item) -> bool:
             # bounded put: consumers may abandon the iterator mid-epoch
@@ -117,8 +132,7 @@ class BatchLoader:
                     # return means this dataset/config isn't native-eligible.
                     batch = get_batch(row) if get_batch is not None else None
                     if batch is None:
-                        items = list(pool.map(self.dataset.__getitem__,
-                                              [int(i) for i in row]))
+                        items = list(pool.map(fetch, [int(i) for i in row]))
                         batch = collate(items)
                     if self.post_collate is not None:
                         batch = self.post_collate(batch, row)

@@ -181,11 +181,22 @@ def load_oxford_gt_pkl(root: str) -> List[Dict]:
 
 def load_gt_npy_dir(gt_dir: str) -> List[Dict]:
     """Generic GT layout: <gt_dir>/<i>.npy holding a 4x4 transform for pair i
-    (anc = <i>.bin in anc tree, pos = <i>.bin in pos tree, seq 0)."""
+    (anc = <i>.bin in anc tree, pos = <i>.bin in pos tree, seq 0).
+
+    Also accepts the tree ``data/preprocess.build_modelnet_rotated`` writes —
+    ``<root>/rotated/<i>_gt.npy`` transforms mixed next to ``<i>.npy`` clouds:
+    when any ``*_gt.npy`` exists, ONLY those files are read as transforms (the
+    bare ``<i>.npy`` there are point clouds, not GT)."""
+    names = sorted(fn for fn in os.listdir(gt_dir) if fn.endswith(".npy"))
+    gt_suffixed = [fn for fn in names if fn.endswith("_gt.npy")]
     rows = []
-    for fn in sorted(os.listdir(gt_dir)):
-        if not fn.endswith(".npy"):
-            continue
+    if gt_suffixed:
+        for fn in gt_suffixed:
+            i = int(fn[:-len("_gt.npy")])
+            rows.append({"seq": 0, "anc_idx": i, "pos_idx": i,
+                         "T_gt": np.load(os.path.join(gt_dir, fn))})
+        return rows
+    for fn in names:
         i = int(os.path.splitext(fn)[0])
         rows.append({"seq": 0, "anc_idx": i, "pos_idx": i,
                      "T_gt": np.load(os.path.join(gt_dir, fn))})

@@ -20,7 +20,8 @@ from usip_tpu.train.loop import init_detector_state
 from usip_tpu.train.steps import make_detector_infer
 
 
-def make_eval_dataset(cfg: Config, synthetic: bool = False, seed: int = 0):
+def make_eval_dataset(cfg: Config, synthetic: bool = False, seed: int = 0,
+                      subset: str = "original"):
     if synthetic:
         from usip_tpu.data.synthetic import SyntheticDataset
 
@@ -54,7 +55,9 @@ def make_eval_dataset(cfg: Config, synthetic: bool = False, seed: int = 0):
     if name == "match3d":
         return el.Match3DEvalFrames(cfg.data, sn_len=sn)
     if name in ("modelnet", "shrec"):
-        return el.ModelNetRotatedFrames(cfg.data, sn_len=sn)
+        # subset picks original vs rotated — the repeatability protocol
+        # exports BOTH trees and compares (modelnet_rotated_loader.py)
+        return el.ModelNetRotatedFrames(cfg.data, sn_len=sn, subset=subset)
     raise KeyError(name)
 
 
@@ -152,7 +155,8 @@ def run_export(cfg: Config, checkpoint: Optional[str], out_dir: str,
                nms_radius: float = 0.0, desired_num: int = 128,
                synthetic: bool = False, batch_size: Optional[int] = None,
                dataset=None, timing: bool = True, method: str = "model",
-               noise_sigma: float = 0.0, **baseline_kwargs) -> dict:
+               noise_sigma: float = 0.0, subset: str = "original",
+               **baseline_kwargs) -> dict:
     """Returns summary stats (frames, mean keypoint count, clouds/sec).
 
     ``method``: 'model' (the trained detector) or a classical baseline
@@ -172,7 +176,8 @@ def run_export(cfg: Config, checkpoint: Optional[str], out_dir: str,
             state = replicate(mesh, state)
         infer = jax.jit(make_detector_infer(cfg, model))
 
-    ds = dataset if dataset is not None else make_eval_dataset(cfg, synthetic)
+    ds = dataset if dataset is not None else make_eval_dataset(cfg, synthetic,
+                                                              subset=subset)
     bs = batch_size or cfg.train.batch_size
     loader = BatchLoader(ds, bs, shuffle=False, num_workers=4, drop_last=False)
     rng = np.random.default_rng(0)
@@ -192,8 +197,6 @@ def run_export(cfg: Config, checkpoint: Optional[str], out_dir: str,
                                                 batch_size=bs)
             kp, sig = infer(state, pc_in, sn_in, jax.random.fold_in(key, i))
             kp, sig = np.asarray(kp)[:real_b], np.asarray(sig)[:real_b]
-        if i == 0:
-            t_start = time.perf_counter()  # exclude compile
         for b in range(pc_batch.shape[0]):
             if method == "model":
                 selected = select_keypoints(kp[b], sig[b], pc_batch[b],
@@ -213,9 +216,14 @@ def run_export(cfg: Config, checkpoint: Optional[str], out_dir: str,
             path = os.path.join(out_dir, f"{seq:02d}", f"{frame}.bin")
             write_keypoints_bin(path, selected)
             frames += 1
+        if i == 0:
+            # timer starts after batch 0 is fully processed (device compile
+            # AND its host NMS/write work) so numerator and window line up
+            t_start = time.perf_counter()
+            frames_at_start = frames
     elapsed = time.perf_counter() - (t_start or time.perf_counter())
-    done_after_first = max(frames - bs, 1)
+    timed = max(frames - (frames_at_start if t_start else 0), 1)
     stats = {"frames": frames,
              "mean_keypoints": float(np.mean(counts)) if counts else 0.0,
-             "clouds_per_sec": done_after_first / elapsed if elapsed > 0 else 0.0}
+             "clouds_per_sec": timed / elapsed if elapsed > 0 else 0.0}
     return stats

@@ -100,13 +100,20 @@ class KeypointPipeline:
         kp, sig = np.asarray(kp[0]), np.asarray(sig[0])
         selected = select_keypoints(kp, sig, fpc, nms_radius=nms_radius,
                                     desired_num=num_keypoints, rng=self._rng)
-        # descriptor shape contract: M keypoints per forward — pad/trim to the
-        # configured node count for a single compiled program
+        # descriptor shape contract: exactly node_num keypoints per forward —
+        # pad short sets and CHUNK long ones so every call reuses the single
+        # compiled program (a fresh shape costs minutes on the remote-compile
+        # transport, stalling a resident serve loop)
         m = self.cfg.data.node_num
-        padded = selected
-        if padded.shape[0] < m:
-            extra = fpc[self._rng.choice(fpc.shape[0], m - padded.shape[0])]
-            padded = np.concatenate([padded, extra])
-        desc = self._describe(jnp.asarray(fpc[None]), jnp.asarray(fsn[None]),
-                              jnp.asarray(padded[None]), self._next_key())
-        return selected, np.asarray(desc[0])[:selected.shape[0]]
+        k = selected.shape[0]
+        descs = []
+        for off in range(0, k, m):
+            chunk = selected[off:off + m]
+            if chunk.shape[0] < m:
+                extra = fpc[self._rng.choice(fpc.shape[0],
+                                             m - chunk.shape[0])]
+                chunk = np.concatenate([chunk, extra])
+            d = self._describe(jnp.asarray(fpc[None]), jnp.asarray(fsn[None]),
+                               jnp.asarray(chunk[None]), self._next_key())
+            descs.append(np.asarray(d[0])[:min(m, k - off)])
+        return selected, np.concatenate(descs)

@@ -208,5 +208,8 @@ def batch_load_subsample(paths, target: int, sn_len: int, seed: int = 0,
                                            threads, _fptr(out_pc),
                                            _fptr(out_sn))
     if rc != 0:
-        raise IOError(f"usip_batch_load_subsample failed: {rc}")
+        detail = {10: "npy probe failed", 11: "npy read failed",
+                  12: f"cloud has fewer than {3 + sn_len} columns "
+                      f"(need 3 coords + {sn_len} normals)"}.get(rc, "")
+        raise IOError(f"usip_batch_load_subsample failed: {rc} {detail}")
     return out_pc, out_sn[:, :, :sn_len]
