@@ -98,11 +98,15 @@ class BatchNorm(nn.Module):
                                     self.axis_name) / total
                 sq = jax.lax.psum(jnp.sum(jnp.square(x32), axis=reduce_axes),
                                   self.axis_name) / total
-                var = sq - jnp.square(mean)
+                # clamp: E[x^2]-E[x]^2 can go negative by fp32 cancellation on
+                # near-constant channels (flax clamps the same way)
+                var = jnp.maximum(sq - jnp.square(mean), 0.0)
                 unbiased = var * (total / jnp.maximum(total - 1, 1))
             else:
                 mean = jnp.mean(x32, axis=reduce_axes)
-                var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(x32), axis=reduce_axes)
+                    - jnp.square(mean), 0.0)
                 unbiased = var * (count / max(count - 1, 1))
             if not self.is_initializing():
                 m = jnp.asarray(momentum, jnp.float32)

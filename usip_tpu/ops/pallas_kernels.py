@@ -63,6 +63,9 @@ def min_argmin_pallas(points: Array, nodes: Array, tile_n: int = 1024,
     b, n, _ = points.shape
     m = nodes.shape[1]
     assert n % tile_n == 0, (n, tile_n)
+    # unaligned M would be lane-padded with undefined data and the row-wise
+    # min/argmin could surface a garbage index — fail loudly like the N check
+    assert m % 128 == 0, f"min_argmin_pallas: M={m} must be a multiple of 128"
 
     def one(p, nd):
         nd_t = nd.T.astype(jnp.float32)                     # (3, M)

@@ -111,6 +111,9 @@ class DescriptorEngine:
         self._np_rng = np.random.default_rng(cfg.train.seed + 21)
         self.best_test_loss = float("inf")
         self.start_epoch = 0
+        # divergence abort, parity with DetectorEngine (SURVEY §5.3)
+        self.max_nonfinite = 5
+        self._nonfinite_streak = 0
 
     def resume(self, path: str) -> int:
         """Exact resume (descriptor state; the frozen detector reloads from its
@@ -150,14 +153,27 @@ class DescriptorEngine:
         epoch_dev = jnp.asarray(epoch)
         for i, (batch, batch_size) in enumerate(
                 prefetch_batches(self.train_loader, self._device_batch)):
-            key = jax.random.fold_in(self._key,
+            key = jax.random.fold_in(jax.random.fold_in(self._key, 0),
                                      cfg.train.seed + 1_000_000 * epoch + i)
             self.state, metrics = self.step_fn(self.state, self.det_state,
                                                batch, key, epoch_dev)
             pending.append((metrics, batch_size))
             if i % cfg.train.log_every == 0:
-                self.logger.log(int(self.state.step), epoch,
-                                {k: float(v) for k, v in metrics.items()},
+                host = {k: float(v) for k, v in metrics.items()}
+                # same divergence abort as DetectorEngine (SURVEY §5.3): a
+                # NaN descriptor run must not train to completion silently
+                if not np.isfinite(host.get("loss", 0.0)):
+                    self._nonfinite_streak += 1
+                    self.logger.log(int(self.state.step), epoch,
+                                    {"nonfinite_loss": 1.0}, prefix="warn")
+                    if self._nonfinite_streak >= self.max_nonfinite:
+                        raise FloatingPointError(
+                            f"{self.max_nonfinite} consecutive non-finite "
+                            "descriptor losses — aborting (restore the last "
+                            "checkpoint, lower LR)")
+                else:
+                    self._nonfinite_streak = 0
+                self.logger.log(int(self.state.step), epoch, host,
                                 prefix="desc")
         for host_metrics, weight in _fetch_metrics(pending):
             averages.update(host_metrics, weight=weight)
@@ -171,7 +187,9 @@ class DescriptorEngine:
         epoch_dev = jnp.asarray(epoch)
         for i, (batch, batch_size) in enumerate(
                 prefetch_batches(self.test_loader, self._device_batch)):
-            key = jax.random.fold_in(self._key, 10_000_000 + i)
+            # test stream folded under role 1 so it can never collide with
+            # a train step key (role 0), matching DetectorEngine._stream_key
+            key = jax.random.fold_in(jax.random.fold_in(self._key, 1), i)
             _, metrics = self.eval_fn(self.state, self.det_state, batch, key,
                                       epoch_dev)
             pending.append((metrics, batch_size))

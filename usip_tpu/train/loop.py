@@ -211,6 +211,13 @@ class DetectorEngine:
     def _prefetch(self, loader, depth: int = 8):
         return prefetch_batches(loader, self._device_batch, depth)
 
+    def _stream_key(self, role: int, counter: int):
+        """Disjoint PRNG streams per role (0=train, 1=test, 2=truncated sweep,
+        3=snapshot): the role is folded first so counters can never collide
+        across roles (a flat offset scheme would reuse train keys for eval
+        once 1_000_000*epoch crosses an offset)."""
+        return jax.random.fold_in(jax.random.fold_in(self._key, role), counter)
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
         # epoch-level LR schedule (reference updates at epoch boundaries)
@@ -226,8 +233,8 @@ class DetectorEngine:
         pending = []  # (device metrics, weight) — converted at epoch end
         epoch_dev = jnp.asarray(epoch)  # hoisted: one transfer per epoch
         for i, (batch, batch_size) in enumerate(self._prefetch(self.train_loader)):
-            step_key = jax.random.fold_in(self._key,
-                                          cfg.train.seed + 1_000_000 * epoch + i)
+            step_key = self._stream_key(
+                0, cfg.train.seed + 1_000_000 * epoch + i)
             profiling = (self.profile_dir is not None and epoch == 0
                          and i == 10)
             if profiling:
@@ -268,7 +275,7 @@ class DetectorEngine:
         pending = []
         for i, (batch, batch_size) in enumerate(self._prefetch(self.test_loader)):
             metrics = self.eval_step(self.state, batch,
-                                     jax.random.fold_in(self._key, 10_000_000 + i))
+                                     self._stream_key(1, i))
             pending.append((metrics, batch_size))
         for host_metrics, weight in _fetch_metrics(pending):
             averages.update(host_metrics, weight=weight)
@@ -317,7 +324,7 @@ class DetectorEngine:
             from usip_tpu.train.steps import make_detector_infer
             self._infer = jax.jit(make_detector_infer(self.cfg, self.model))
         from usip_tpu.ops.sampling import sample_nodes
-        key = jax.random.fold_in(self._key, 30_000_000 + epoch)
+        key = self._stream_key(3, epoch)
         nodes = sample_nodes(key, pc, self.cfg.data.node_num,
                              self.cfg.data.fps_subsample_ratio,
                              parallel=self.cfg.data.fps_parallel)
@@ -371,7 +378,7 @@ class DetectorEngine:
         tested = 0
         for i, (batch, batch_size) in enumerate(self._prefetch(self.test_loader)):
             metrics = self.eval_step(self.state, batch,
-                                     jax.random.fold_in(self._key, 20_000_000 + i))
+                                     self._stream_key(2, i))
             pending.append((metrics, batch_size))
             tested += batch_size
             if tested > max_samples:
@@ -410,24 +417,29 @@ class DetectorEngine:
             epoch_dev = epoch_dev_cache.setdefault(epoch, jnp.asarray(epoch))
             pending = []
             averages = RunningAverages()
+            self.throughput.reset()
             for i, (batch, batch_size) in enumerate(
                     self._prefetch(self.train_loader)):
-                step_key = jax.random.fold_in(
-                    self._key, tcfg.seed + 1_000_000 * epoch + i)
+                step_key = self._stream_key(
+                    0, tcfg.seed + 1_000_000 * epoch + i)
                 self.state, metrics = self.train_step(self.state, batch,
                                                       step_key, epoch_dev)
                 pending.append((metrics, batch_size))
                 total += batch_size
+                self.throughput.add(batch_size * 2)
                 if i % tcfg.log_every == 0:
                     host = {k: float(v) for k, v in metrics.items()}
                     host["lr"] = lr
                     host["total_samples"] = float(total)
+                    host["clouds_per_sec_per_chip"] = self.throughput.rate()
                     self.logger.log(int(self.state.step), epoch, host,
                                     prefix="train")
                     # same divergence abort as train_epoch: never train on
                     # NaN weights to completion
                     if not np.isfinite(host.get("loss", 0.0)):
                         self._nonfinite_streak += 1
+                        self.logger.log(int(self.state.step), epoch,
+                                        {"nonfinite_loss": 1.0}, prefix="warn")
                         if self._nonfinite_streak >= self.max_nonfinite:
                             raise FloatingPointError(
                                 f"{self.max_nonfinite} consecutive non-finite "

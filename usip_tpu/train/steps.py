@@ -366,6 +366,14 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
     anchor is GT-aligned to pos via a device-side random SE3 like
     scenenn_descriptor_loader.py:276-278).
     """
+    if use_cgf and cfg.augment.height_scale:
+        # anc is height-scaled AFTER detection but aligned with a gt applied
+        # BEFORE scaling; S∘(R,s,t) != (R,s,t)∘S for anisotropic S, so CGF
+        # radius matching would pair wrong keypoints. No released preset
+        # combines these; refuse rather than train on wrong correspondences.
+        raise NotImplementedError(
+            "use_cgf with augment.height_scale: the post-detection height "
+            "scale does not commute with the CGF GT alignment; disable one")
 
     def train_step(desc_state: TrainState, det_state: TrainState,
                    batch: DescriptorBatch, key: Array, epoch: Array):
@@ -408,10 +416,11 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
         anc_kp, pos_kp = kp[:b], kp[b:]
         anc_sig = sig[:b]
 
-        if aug.height_scale:
+        if aug.height_scale and not eval_only:
             # oxford: post-detector height scaling of clouds AND keypoints as
-            # descriptor train augmentation (oxford/train_descriptor.py:123-130);
-            # cam-frame up axis is y (ENU z pre-flip)
+            # descriptor TRAIN augmentation (oxford/train_descriptor.py:123-130,
+            # absent from its test loop); cam-frame up axis is y (ENU z
+            # pre-flip)
             anc_pc, pos_pc, anc_kp, pos_kp = augment.random_height_scale(
                 k_height, [anc_pc, pos_pc, anc_kp, pos_kp],
                 aug.height_scale_low, aug.height_scale_high, axis=1)
@@ -424,6 +433,12 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
             variables = {"params": params, "batch_stats": desc_state.batch_stats}
 
             def run(pcb, snb, kpb, kball, variables):
+                if eval_only:
+                    # eval uses running BN stats (keypoint_descriptor.py:162
+                    # switches to .eval()); batch stats stay untouched
+                    out = descriptor.apply(variables, pcb, snb, kpb,
+                                           key=kball, train=False)
+                    return out, {"batch_stats": variables["batch_stats"]}
                 return descriptor.apply(
                     variables, pcb, snb, kpb, key=kball, train=True,
                     bn_momentum=momentum, mutable=["batch_stats"])
