@@ -48,8 +48,56 @@ def _arm_watchdog():
     return t
 
 
+# Minimal health check covering the known failure modes: tunnel down (device
+# enumeration hangs) and backend wedge (devices list but every execution
+# hangs, PERFORMANCE.md environment note) — so it must include an execution.
+_PROBE_SRC = (
+    "import os, jax, jax.numpy as jnp; "
+    "p = os.environ.get('BENCH_PROBE_PLATFORM'); "
+    "p and jax.config.update('jax_platforms', p); "  # tests force cpu here
+    "jax.devices(); "
+    "jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))")
+
+
+def _wait_for_backend(deadline: float) -> bool:
+    """Retry a subprocess backend probe until it answers or ``deadline``
+    (time.monotonic) passes. A relay outage earlier this round left device
+    calls hung in C++ (uninterruptible in-process); probing in a subprocess
+    keeps this process responsive, and retrying lets a flapping tunnel
+    recover the benchmark instead of forfeiting the round's artifact."""
+    import subprocess
+    import sys
+    while True:
+        budget = deadline - time.monotonic()
+        if budget <= 0:
+            return False
+        try:
+            # generous per-attempt cap: a cold remote compile of even the
+            # tiny probe program can take minutes through the tunnel
+            r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                               timeout=min(240.0, budget),
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if deadline - time.monotonic() > 30:
+            time.sleep(30)
+
+
 def main():
     watchdog = _arm_watchdog()
+    # pre-flight: wait out a backend outage, but always leave >=1500 s of the
+    # watchdog budget for the real compile + measurement passes below
+    wait_budget = max(WATCHDOG_SECONDS - 1500, 120)
+    if not _wait_for_backend(time.monotonic() + wait_budget):
+        watchdog.cancel()
+        print(json.dumps({
+            "metric": "kitti_16k_detection_clouds_per_sec_per_chip",
+            "value": 0.0, "unit": "clouds/sec/chip", "vs_baseline": 0.0,
+            "error": f"backend probe failed for {wait_budget}s "
+                     "(TPU tunnel down)"}), flush=True)
+        os._exit(2)
     import jax
     import jax.numpy as jnp
 
