@@ -191,7 +191,22 @@ def cmd_export_keypoints(args):
                        nms_radius=args.nms_radius,
                        desired_num=args.num_keypoints,
                        synthetic=args.synthetic, method=args.method,
-                       noise_sigma=args.noise_sigma, subset=args.subset)
+                       noise_sigma=args.noise_sigma, subset=args.subset,
+                       with_sigmas=args.with_sigmas)
+    print(json.dumps(stats))
+
+
+def cmd_render_keypoints(args):
+    """Browse exported keypoints over their clouds (the reference's
+    evaluation/visualize_keypoints viewer)."""
+    cfg = _build_config(args)
+    from usip_tpu.eval.render import run_render
+    stats = run_render(cfg, kp_dir=args.kp_dir, out_dir=args.out,
+                       kp_dim=args.kp_dim,
+                       sigma_threshold=args.sigma_threshold,
+                       max_frames=args.max_frames, html=not args.no_html,
+                       seed=args.seed, synthetic=args.synthetic,
+                       subset=args.subset)
     print(json.dumps(stats))
 
 
@@ -534,7 +549,35 @@ def main(argv=None):
                    choices=["original", "rotated"],
                    help="modelnet/shrec: which half of the rotated-pair "
                         "repeatability protocol to export")
+    p.add_argument("--with-sigmas", action="store_true",
+                   help="write 4-column (xyz, sigma) bins — the form the "
+                        "reference's visualize_keypoints viewer reads; "
+                        "render with render-keypoints --kp-dim 4")
     p.set_defaults(fn=cmd_export_keypoints)
+
+    p = sub.add_parser("render-keypoints",
+                       help="render exported keypoint .bin trees over their "
+                            "source clouds (evaluation/visualize_keypoints "
+                            "viewer): PNGs + an HTML gallery")
+    _add_common(p)
+    p.add_argument("--kp-dir", required=True,
+                   help="root of an export-keypoints .bin tree")
+    p.add_argument("--out", required=True)
+    p.add_argument("--kp-dim", type=int, default=3, choices=[3, 4],
+                   help="columns per keypoint row (4 = --with-sigmas exports)")
+    p.add_argument("--sigma-threshold", type=float, default=None,
+                   help="keep keypoints with sigma < threshold (defaults to "
+                        "the reference's per-dataset value for 4-column bins: "
+                        "modelnet 0.04 / oxford 0.25 / kitti 0.3 / "
+                        "scenenn 0.08, visualize_features.m)")
+    p.add_argument("--max-frames", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-html", action="store_true")
+    p.add_argument("--subset", default="original",
+                   choices=["original", "rotated"],
+                   help="modelnet/shrec: which half of the rotated-pair "
+                        "tree the bins were exported from")
+    p.set_defaults(fn=cmd_render_keypoints)
 
     p = sub.add_parser("export-descriptors")
     _add_common(p)

@@ -156,14 +156,20 @@ def run_export(cfg: Config, checkpoint: Optional[str], out_dir: str,
                synthetic: bool = False, batch_size: Optional[int] = None,
                dataset=None, timing: bool = True, method: str = "model",
                noise_sigma: float = 0.0, subset: str = "original",
-               **baseline_kwargs) -> dict:
+               with_sigmas: bool = False, **baseline_kwargs) -> dict:
     """Returns summary stats (frames, mean keypoint count, clouds/sec).
 
     ``method``: 'model' (the trained detector) or a classical baseline
     ('random'/'iss'/'harris' — save_keypoints.py:289-325); ``noise_sigma`` adds
     gaussian noise to the input cloud (the export tool's robustness knob,
-    save_keypoints.py:34).
+    save_keypoints.py:34). ``with_sigmas`` writes 4-column (xyz, sigma) bins —
+    the form the reference's visualize_keypoints viewer consumes
+    (visualize_keypoints/tools/load_keypoint.m reads Nx4); pad-from-cloud rows
+    carry sigma=inf. Only the trained detector produces sigmas.
     """
+    if with_sigmas and method != "model":
+        raise ValueError("with_sigmas requires method='model' (classical "
+                         "baselines carry no uncertainty estimate)")
     from usip_tpu.parallel import make_mesh, replicate
 
     mesh = make_mesh(cfg.train.num_devices) \
@@ -201,7 +207,12 @@ def run_export(cfg: Config, checkpoint: Optional[str], out_dir: str,
             if method == "model":
                 selected = select_keypoints(kp[b], sig[b], pc_batch[b],
                                             nms_radius=nms_radius,
-                                            desired_num=desired_num, rng=rng)
+                                            desired_num=desired_num, rng=rng,
+                                            return_sigmas=with_sigmas)
+                if with_sigmas:
+                    sel_kp, sel_sig = selected
+                    selected = np.concatenate(
+                        [sel_kp, sel_sig[:, None].astype(sel_kp.dtype)], axis=1)
             else:
                 from usip_tpu.eval.baselines import baseline_keypoints
                 from usip_tpu.eval.export import ensure_keypoint_number

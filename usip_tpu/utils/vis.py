@@ -56,7 +56,10 @@ def save_keypoint_scene(path: str, pc: np.ndarray, nodes: Optional[np.ndarray],
     if keypoints is not None:
         if sigmas is not None:
             w = (1.0 / np.maximum(sigmas, 1e-6))
-            w = w / w.max()
+            # empty or all-inf sigmas (e.g. every keypoint filtered away, or
+            # pure pad-from-cloud rows) must not divide 0/0 into NaN colors
+            wmax = float(w.max()) if w.size else 0.0
+            w = w / max(wmax, 1e-12)
             colors = np.stack([w, np.zeros_like(w), np.zeros_like(w)], 1)
         else:
             colors = "r"
