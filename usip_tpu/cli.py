@@ -196,6 +196,45 @@ def cmd_export_keypoints(args):
     print(json.dumps(stats))
 
 
+def cmd_export_model(args):
+    """Write self-contained AOT model artifacts (jax.export / StableHLO) —
+    the deployment form: weights baked in, runnable without model code."""
+    from usip_tpu.model_artifact import (export_descriptor_artifact,
+                                         export_detector_artifact)
+    platforms = tuple(p.strip() for p in args.platforms.split(","))
+    cfg = _build_config(
+        args, role="descriptor" if args.descriptor_checkpoint else "detector")
+    out = {}
+    out["detector"] = export_detector_artifact(
+        cfg, args.checkpoint, args.out, batch=args.batch, platforms=platforms)
+    out["detector"]["path"] = args.out
+    if args.descriptor_checkpoint:
+        desc_out = args.desc_out or (os.path.splitext(args.out)[0]
+                                     + ".descriptor.usipart")
+        out["descriptor"] = export_descriptor_artifact(
+            cfg, args.descriptor_checkpoint, desc_out, batch=args.batch,
+            num_keypoints=args.num_keypoints, platforms=platforms)
+        out["descriptor"]["path"] = desc_out
+    print(json.dumps(out))
+
+
+def cmd_run_model(args):
+    """Serve raw .npy clouds through exported artifacts (the checkpoint-free
+    counterpart of `detect`)."""
+    import glob as globmod
+
+    from usip_tpu.model_artifact import run_detector_artifact
+    paths = sorted(globmod.glob(os.path.join(args.input, "*.npy"))
+                   if os.path.isdir(args.input) else globmod.glob(args.input))
+    if not paths:
+        raise SystemExit(f"no .npy clouds match {args.input}")
+    stats = run_detector_artifact(
+        args.artifact, paths, args.out, num_keypoints=args.num_keypoints,
+        nms_radius=args.nms_radius, desc_artifact_path=args.desc_artifact,
+        seed=args.seed)
+    print(json.dumps(stats))
+
+
 def cmd_render_keypoints(args):
     """Browse exported keypoints over their clouds (the reference's
     evaluation/visualize_keypoints viewer)."""
@@ -554,6 +593,43 @@ def main(argv=None):
                         "reference's visualize_keypoints viewer reads; "
                         "render with render-keypoints --kp-dim 4")
     p.set_defaults(fn=cmd_export_keypoints)
+
+    p = sub.add_parser("export-model",
+                       help="write a self-contained AOT artifact "
+                            "(jax.export/StableHLO, weights baked in) for "
+                            "checkpoint-free serving")
+    _add_common(p)
+    p.add_argument("--checkpoint", required=True, help="detector checkpoint")
+    p.add_argument("--out", required=True, help="artifact path (.usipart)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="pinned serving batch (static shapes)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets")
+    p.add_argument("--descriptor-checkpoint", default=None,
+                   help="also export a descriptor artifact")
+    p.add_argument("--desc-out", default=None,
+                   help="descriptor artifact path (default: "
+                        "<out>.descriptor.usipart)")
+    p.add_argument("--num-keypoints", type=int, default=128,
+                   help="keypoint-set shape pinned into the descriptor "
+                        "artifact")
+    p.set_defaults(fn=cmd_export_model)
+
+    p = sub.add_parser("run-model",
+                       help="run exported artifacts over raw .npy clouds "
+                            "(no model code or checkpoints needed)")
+    p.add_argument("--artifact", required=True)
+    p.add_argument("--input", required=True,
+                   help=".npy file, glob, or directory of clouds")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-keypoints", type=int, default=128)
+    p.add_argument("--nms-radius", type=float, default=0.0)
+    p.add_argument("--desc-artifact", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None,
+                   choices=["cpu", "tpu", "axon"],
+                   help="force a jax platform")
+    p.set_defaults(fn=cmd_run_model)
 
     p = sub.add_parser("render-keypoints",
                        help="render exported keypoint .bin trees over their "
