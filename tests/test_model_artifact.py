@@ -115,6 +115,48 @@ def test_run_detector_artifact_ragged(artifacts, tmp_path):
         assert d.size == 12 * 16
 
 
+def test_pipeline_artifact_end_to_end(artifacts, tmp_path):
+    cfg, _, _, _, _, _, art_tmp = artifacts
+    from usip_tpu.model_artifact import export_pipeline_artifact
+    pipe_path = str(tmp_path / "pipe.usipart")
+    hdr = export_pipeline_artifact(cfg, str(art_tmp / "det.msgpack"),
+                                   str(art_tmp / "desc.msgpack"), pipe_path,
+                                   batch=2, platforms=("cpu",))
+    assert hdr["kind"] == "pipeline" and hdr["descriptor_len"] == 16
+    rng = np.random.default_rng(4)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"c{i}.npy")
+        np.save(p, rng.normal(size=(150, 6)).astype(np.float32))
+        paths.append(p)
+    out = str(tmp_path / "served")
+    stats = run_detector_artifact(pipe_path, paths, out, num_keypoints=10)
+    assert stats["clouds"] == 3
+    for i in range(3):
+        kp = np.fromfile(os.path.join(out, f"c{i}.keypoints.bin"),
+                         np.float32).reshape(-1, 3)
+        d = np.fromfile(os.path.join(out, f"c{i}.desc.bin"),
+                        np.float32).reshape(-1, 16)
+        # paired rows, selected from the model's 16 proposals without padding
+        assert kp.shape[0] == d.shape[0] == 10
+    with pytest.raises(ValueError, match="already embeds"):
+        run_detector_artifact(pipe_path, paths, out,
+                              desc_artifact_path=pipe_path)
+
+
+def test_select_keypoint_indices_pairs_rows():
+    from usip_tpu.eval.export import select_keypoint_indices, select_keypoints
+    rng = np.random.default_rng(0)
+    kp = rng.normal(size=(40, 3)).astype(np.float32)
+    sig = rng.uniform(0.1, 1.0, size=40).astype(np.float32)
+    idx = select_keypoint_indices(kp, sig, nms_radius=0.5, desired_num=8)
+    assert idx.shape[0] <= 8 and np.unique(idx).size == idx.size
+    # sigma-ascending order, and identical to the point-returning selection
+    assert np.all(np.diff(sig[idx]) >= 0)
+    kp_pts = select_keypoints(kp, sig, kp, nms_radius=0.5, desired_num=8)
+    np.testing.assert_array_equal(kp[idx], kp_pts[:idx.shape[0]])
+
+
 def test_run_detector_artifact_contract_errors(artifacts, tmp_path):
     _, _, _, _, det_path, desc_path, _ = artifacts
     p = str(tmp_path / "c.npy")

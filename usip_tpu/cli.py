@@ -200,10 +200,21 @@ def cmd_export_model(args):
     """Write self-contained AOT model artifacts (jax.export / StableHLO) —
     the deployment form: weights baked in, runnable without model code."""
     from usip_tpu.model_artifact import (export_descriptor_artifact,
-                                         export_detector_artifact)
+                                         export_detector_artifact,
+                                         export_pipeline_artifact)
     platforms = tuple(p.strip() for p in args.platforms.split(","))
     cfg = _build_config(
         args, role="descriptor" if args.descriptor_checkpoint else "detector")
+    if args.pipeline:
+        if not args.descriptor_checkpoint:
+            raise SystemExit("--pipeline needs --descriptor-checkpoint "
+                             "(it fuses detect+describe into one program)")
+        hdr = export_pipeline_artifact(
+            cfg, args.checkpoint, args.descriptor_checkpoint, args.out,
+            batch=args.batch, platforms=platforms)
+        hdr["path"] = args.out
+        print(json.dumps({"pipeline": hdr}))
+        return
     out = {}
     out["detector"] = export_detector_artifact(
         cfg, args.checkpoint, args.out, batch=args.batch, platforms=platforms)
@@ -613,6 +624,9 @@ def main(argv=None):
     p.add_argument("--num-keypoints", type=int, default=128,
                    help="keypoint-set shape pinned into the descriptor "
                         "artifact")
+    p.add_argument("--pipeline", action="store_true",
+                   help="one fused program (FPS+detect+describe, descriptors "
+                        "for every proposal) instead of two artifacts")
     p.set_defaults(fn=cmd_export_model)
 
     p = sub.add_parser("run-model",

@@ -35,6 +35,29 @@ def nms(keypoints: np.ndarray, sigmas: np.ndarray,
     return np.stack(kept_kp), np.asarray(kept_sig)
 
 
+def select_keypoint_indices(keypoints: np.ndarray, sigmas: np.ndarray, *,
+                            nms_radius: float = 0.0,
+                            desired_num: int = 128) -> np.ndarray:
+    """Index-tracking form of NMS -> sigma-rank -> top-K: returns row indices
+    into ``keypoints`` (length <= desired_num, no pad-from-cloud), so rows of
+    a parallel array (e.g. descriptors computed for every proposal in one
+    fused program) stay paired with their keypoints."""
+    if nms_radius < 0.01:
+        kept = np.arange(keypoints.shape[0])
+    else:
+        kept_list = []
+        idx = np.arange(keypoints.shape[0])
+        kp, sig = keypoints, sigmas
+        while kp.shape[0] > 0:
+            i = int(np.argmin(sig))
+            kept_list.append(idx[i])
+            mask = np.linalg.norm(kp - kp[i], axis=1) > nms_radius
+            kp, sig, idx = kp[mask], sig[mask], idx[mask]
+        kept = np.asarray(kept_list, dtype=np.int64)
+    order = np.argsort(sigmas[kept])
+    return kept[order][:desired_num]
+
+
 def ensure_keypoint_number(keypoints: np.ndarray, pc: np.ndarray, num: int,
                            rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """Pad (random cloud points) or subsample to exactly ``num`` keypoints

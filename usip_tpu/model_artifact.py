@@ -135,6 +135,52 @@ def export_descriptor_artifact(cfg, descriptor_checkpoint: str, path: str,
     return header
 
 
+def export_pipeline_artifact(cfg, detector_checkpoint: str,
+                             descriptor_checkpoint: str, path: str,
+                             batch: int = 1,
+                             platforms: Sequence[str] = ("cpu", "tpu")
+                             ) -> dict:
+    """One fused AOT program: ``(pc, sn, key) -> (keypoints (B,M,3),
+    sigmas (B,M), descriptors (B,M,D))`` — FPS, detector, and descriptor in a
+    single device dispatch (the serving-optimal shape; descriptors cover every
+    detector proposal, host-side selection picks paired rows afterwards via
+    ``eval.export.select_keypoint_indices``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from usip_tpu.train.checkpoint import restore_checkpoint
+    from usip_tpu.train.descriptor_loop import init_descriptor_state
+    from usip_tpu.train.loop import init_detector_state
+    from usip_tpu.train.steps import make_detector_infer
+
+    model, det_state = init_detector_state(cfg, cfg.train.seed)
+    det_state, _ = restore_checkpoint(detector_checkpoint, det_state)
+    infer = make_detector_infer(cfg, model)
+    desc_model, desc_state = init_descriptor_state(cfg, cfg.train.seed)
+    desc_state, _ = restore_checkpoint(descriptor_checkpoint, desc_state)
+
+    def serve(pc, sn, key):
+        kp, sig = infer(det_state, pc, sn, key)
+        # distinct stream for the descriptor's ball sampling (FPS consumed key)
+        desc, _ = desc_model.apply(desc_state.variables, pc, sn, kp,
+                                   key=jax.random.fold_in(key, 1), train=False)
+        return kp, sig, desc
+
+    n = cfg.data.input_pc_num
+    s = cfg.detector.surface_normal_len
+    args = (jax.ShapeDtypeStruct((batch, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n, s), jnp.float32),
+            jax.ShapeDtypeStruct((2,), jnp.uint32))
+    exp = jax.export.export(jax.jit(serve), platforms=list(platforms))(*args)
+    header = {"kind": "pipeline", "batch": batch, "input_pc_num": n,
+              "sn_len": s, "node_num": cfg.data.node_num,
+              "descriptor_len": cfg.descriptor.descriptor_len,
+              "platforms": list(platforms), "dataset": cfg.data.dataset,
+              "outputs": ["keypoints", "sigmas", "descriptors"]}
+    _write(path, header, exp.serialize())
+    return header
+
+
 class LoadedArtifact:
     """A deserialized artifact: ``header`` dict + direct ``__call__``."""
 
@@ -157,26 +203,36 @@ def run_detector_artifact(artifact_path: str, inputs: Sequence[str],
                           nms_radius: float = 0.0,
                           desc_artifact_path: Optional[str] = None,
                           seed: int = 0) -> dict:
-    """Serve raw ``.npy`` clouds through a detector artifact (same IO contract
-    as the ``detect`` CLI command: ``<name>.keypoints.bin`` (+``.desc.bin``)
-    per cloud), without any model code or checkpoints.
+    """Serve raw ``.npy`` clouds through a detector or fused pipeline artifact
+    (same IO contract as the ``detect`` CLI command: ``<name>.keypoints.bin``
+    (+``.desc.bin``) per cloud), without any model code or checkpoints.
 
     Clouds are subsampled/padded to the artifact's pinned (batch, N) shape;
     the ragged final batch is padded by repetition and trimmed. Keypoint
     selection (NMS -> sigma rank -> ensure count) is host-side, exactly the
-    export tool's post-processing.
+    export tool's post-processing. With a ``pipeline`` artifact the
+    descriptors come from the same fused dispatch; selection then picks
+    paired keypoint/descriptor rows by index, and (unlike the two-artifact
+    path, which re-describes the selected set) there is no pad-from-cloud —
+    frames where NMS leaves fewer than ``num_keypoints`` proposals write
+    fewer rows, like the reference without is_ensure_keypoint_num.
     """
     import jax
 
     from usip_tpu.data.common import subsample_fixed
-    from usip_tpu.eval.export import select_keypoints
+    from usip_tpu.eval.export import (select_keypoint_indices,
+                                      select_keypoints)
 
     art = load_artifact(artifact_path)
-    if art.header["kind"] != "detector":
+    pipeline = art.header["kind"] == "pipeline"
+    if art.header["kind"] not in ("detector", "pipeline"):
         raise ValueError(f"{artifact_path}: kind={art.header['kind']!r}, "
-                         "expected a detector artifact")
+                         "expected a detector or pipeline artifact")
     desc_art = None
     if desc_artifact_path is not None:
+        if pipeline:
+            raise ValueError("a pipeline artifact already embeds its "
+                             "descriptor — drop --desc-artifact")
         desc_art = load_artifact(desc_artifact_path)
         if desc_art.header["kind"] != "descriptor":
             raise ValueError(f"{desc_artifact_path}: kind="
@@ -212,8 +268,22 @@ def run_detector_artifact(artifact_path: str, inputs: Sequence[str],
         while len(pcs) < b:  # ragged tail: pad by repetition, trim after
             pcs.append(pcs[-1])
             sns.append(sns[-1])
-        kp, sig = art(np.stack(pcs), np.stack(sns),
-                      np.asarray(jax.random.fold_in(key, 2 * start)))
+        out = art(np.stack(pcs), np.stack(sns),
+                  np.asarray(jax.random.fold_in(key, 2 * start)))
+        if pipeline:
+            kp, sig, all_desc = (np.asarray(x)[:real] for x in out)
+            for i, path in enumerate(chunk):
+                idx = select_keypoint_indices(kp[i], sig[i],
+                                              nms_radius=nms_radius,
+                                              desired_num=num_keypoints)
+                name = os.path.splitext(os.path.basename(path))[0]
+                kp[i][idx].astype(np.float32).tofile(
+                    os.path.join(out_dir, f"{name}.keypoints.bin"))
+                all_desc[i][idx].astype(np.float32).tofile(
+                    os.path.join(out_dir, f"{name}.desc.bin"))
+                frames += 1
+            continue
+        kp, sig = out
         kp, sig = np.asarray(kp)[:real], np.asarray(sig)[:real]
         selected = np.stack([
             select_keypoints(kp[i], sig[i], pcs[i], nms_radius=nms_radius,
