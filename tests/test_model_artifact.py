@@ -157,6 +157,18 @@ def test_select_keypoint_indices_pairs_rows():
     np.testing.assert_array_equal(kp[idx], kp_pts[:idx.shape[0]])
 
 
+def test_force_xla_fps_suppresses_mosaic_dispatch():
+    # artifacts must never embed Mosaic custom calls (not portable across
+    # the platform list); the export path wraps tracing in force_xla_fps
+    from usip_tpu.ops.sampling import _use_pallas_fps, force_xla_fps
+    pts = jnp.zeros((2, 256, 3), jnp.float32)
+    assert _use_pallas_fps("pallas", pts, 8) is True
+    with force_xla_fps():
+        assert _use_pallas_fps("pallas", pts, 8) is False
+        assert _use_pallas_fps("auto", pts, 8) is False
+    assert _use_pallas_fps("pallas", pts, 8) is True
+
+
 def test_run_detector_artifact_contract_errors(artifacts, tmp_path):
     _, _, _, _, det_path, desc_path, _ = artifacts
     p = str(tmp_path / "c.npy")

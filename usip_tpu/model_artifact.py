@@ -71,10 +71,14 @@ def export_detector_artifact(cfg, checkpoint: str, path: str, batch: int = 1,
     import jax
     import jax.numpy as jnp
 
+    from usip_tpu.ops.sampling import force_xla_fps
     from usip_tpu.train.checkpoint import restore_checkpoint
     from usip_tpu.train.loop import init_detector_state
     from usip_tpu.train.steps import make_detector_infer
 
+    if cfg.detector.fusion_backend != "xla":
+        # the Mosaic fused chain doesn't lower portably either
+        cfg = cfg.with_overrides(**{"detector.fusion_backend": "xla"})
     model, state = init_detector_state(cfg, cfg.train.seed)
     state, _ = restore_checkpoint(checkpoint, state)
     infer = make_detector_infer(cfg, model)
@@ -87,7 +91,9 @@ def export_detector_artifact(cfg, checkpoint: str, path: str, batch: int = 1,
     args = (jax.ShapeDtypeStruct((batch, n, 3), jnp.float32),
             jax.ShapeDtypeStruct((batch, n, s), jnp.float32),
             jax.ShapeDtypeStruct((2,), jnp.uint32))
-    exp = jax.export.export(jax.jit(detect), platforms=list(platforms))(*args)
+    with force_xla_fps():  # no Mosaic custom calls in portable artifacts
+        exp = jax.export.export(jax.jit(detect),
+                                platforms=list(platforms))(*args)
     header = {"kind": "detector", "batch": batch, "input_pc_num": n,
               "sn_len": s, "node_num": cfg.data.node_num,
               "platforms": list(platforms), "dataset": cfg.data.dataset,
@@ -148,11 +154,14 @@ def export_pipeline_artifact(cfg, detector_checkpoint: str,
     import jax
     import jax.numpy as jnp
 
+    from usip_tpu.ops.sampling import force_xla_fps
     from usip_tpu.train.checkpoint import restore_checkpoint
     from usip_tpu.train.descriptor_loop import init_descriptor_state
     from usip_tpu.train.loop import init_detector_state
     from usip_tpu.train.steps import make_detector_infer
 
+    if cfg.detector.fusion_backend != "xla":
+        cfg = cfg.with_overrides(**{"detector.fusion_backend": "xla"})
     model, det_state = init_detector_state(cfg, cfg.train.seed)
     det_state, _ = restore_checkpoint(detector_checkpoint, det_state)
     infer = make_detector_infer(cfg, model)
@@ -171,7 +180,9 @@ def export_pipeline_artifact(cfg, detector_checkpoint: str,
     args = (jax.ShapeDtypeStruct((batch, n, 3), jnp.float32),
             jax.ShapeDtypeStruct((batch, n, s), jnp.float32),
             jax.ShapeDtypeStruct((2,), jnp.uint32))
-    exp = jax.export.export(jax.jit(serve), platforms=list(platforms))(*args)
+    with force_xla_fps():  # no Mosaic custom calls in portable artifacts
+        exp = jax.export.export(jax.jit(serve),
+                                platforms=list(platforms))(*args)
     header = {"kind": "pipeline", "batch": batch, "input_pc_num": n,
               "sn_len": s, "node_num": cfg.data.node_num,
               "descriptor_len": cfg.descriptor.descriptor_len,

@@ -7,6 +7,7 @@ every DataLoader worker, e.g. data/kitti_detector_loader.py:69-83) with a
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Tuple
 
@@ -43,6 +44,25 @@ def _fps_single(points: Array, k: int, first: Array) -> Tuple[Array, Array]:
     return points[idxs], idxs
 
 
+_FORCE_XLA_FPS = False
+
+
+@contextlib.contextmanager
+def force_xla_fps():
+    """Trace-time override: keep FPS on the pure-XLA path regardless of
+    backend/dispatch. jax.export artifacts lowered for multiple platforms
+    must not embed Mosaic tpu_custom_calls (they neither lower for cpu nor
+    serialize portably), so ``model_artifact`` wraps its export tracing in
+    this. Picks are bit-identical either way (PERFORMANCE.md)."""
+    global _FORCE_XLA_FPS
+    prev = _FORCE_XLA_FPS
+    _FORCE_XLA_FPS = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA_FPS = prev
+
+
 def _use_pallas_fps(backend: str, points: Array, k: int) -> bool:
     """Resolve the FPS backend at trace time.
 
@@ -53,6 +73,8 @@ def _use_pallas_fps(backend: str, points: Array, k: int) -> bool:
     garbage lanes that could win the argmax), fp32 only (parity is fp32-exact),
     and the (B, S) planes must comfortably fit VMEM.
     """
+    if _FORCE_XLA_FPS:
+        return False
     if backend == "pallas":
         return True
     if backend != "auto":
