@@ -157,6 +157,29 @@ def test_select_keypoint_indices_pairs_rows():
     np.testing.assert_array_equal(kp[idx], kp_pts[:idx.shape[0]])
 
 
+@pytest.mark.parametrize("grouping", ["knn", "ball"])
+def test_grouped_detector_artifact(grouping, tmp_path):
+    # the released reference checkpoints are the grouped family — their
+    # two-stage top-k selection paths must export portably too
+    cfg = _tiny_cfg().with_overrides(**{
+        "detector.grouping": grouping, "detector.group_k": 8,
+        "detector.group_radius": 2.0})
+    model, state = init_detector_state(cfg, 0)
+    ckpt = str(tmp_path / "det.msgpack")
+    save_checkpoint(ckpt, state)
+    path = str(tmp_path / f"{grouping}.usipart")
+    export_detector_artifact(cfg, ckpt, path, batch=2, platforms=("cpu",))
+    art = load_artifact(path)
+    rng = np.random.default_rng(5)
+    pc = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+    sn = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+    kp_a, sig_a = art(pc, sn, key)
+    kp_d, sig_d = jax.jit(make_detector_infer(cfg, model))(state, pc, sn, key)
+    np.testing.assert_allclose(np.asarray(kp_a), np.asarray(kp_d), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sig_a), np.asarray(sig_d), atol=1e-4)
+
+
 def test_force_xla_fps_suppresses_mosaic_dispatch():
     # artifacts must never embed Mosaic custom calls (not portable across
     # the platform list); the export path wraps tracing in force_xla_fps
