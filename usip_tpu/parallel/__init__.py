@@ -1,6 +1,7 @@
 from usip_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
+    initialize_distributed,
     jit_train_step,
     make_mesh,
     replicate,
@@ -11,6 +12,7 @@ from usip_tpu.parallel.mesh import (
 __all__ = [
     "DATA_AXIS",
     "batch_sharding",
+    "initialize_distributed",
     "jit_train_step",
     "make_mesh",
     "replicate",

@@ -97,14 +97,36 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch (pytree of arrays, leading batch axis) onto the mesh."""
+    """Place a host batch (pytree of arrays, leading batch axis) onto the mesh.
+
+    Single-process: ``batch`` is the full global batch. Multi-process (after
+    :func:`initialize_distributed`): ``batch`` is this process's LOCAL shard —
+    the global batch is the per-process shards concatenated in process order,
+    which is exactly how per-host data loaders feed a multi-host mesh (each
+    host reads only its slice; no host ever materializes the global batch).
+    The engine's call sites work unchanged in both modes.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Replicate a pytree (train state) across the mesh."""
+    """Replicate a pytree (train state) across the mesh.
+
+    Multi-process: every process must pass the same values (true by
+    construction — same-seed init or the same restored checkpoint), and each
+    device's replica is placed from its own process's copy: a purely local
+    transfer, no collective.
+    """
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x))
+            if isinstance(x, (jax.Array, np.ndarray)) else x, tree)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh) if isinstance(x, (jax.Array, np.ndarray))
         else x, tree)

@@ -22,7 +22,13 @@ def _to_host(tree: Any) -> Any:
 
 
 def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None) -> None:
-    """Serialize a TrainState (or any pytree) to ``path`` (.msgpack) atomically."""
+    """Serialize a TrainState (or any pytree) to ``path`` (.msgpack) atomically.
+
+    Multi-host runs write from process 0 only (state is replicated, so every
+    process holds identical bytes; N writers racing one shared-filesystem path
+    would interleave .tmp renames for nothing)."""
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {
         "step": _to_host(state.step),
@@ -84,6 +90,8 @@ def restore_checkpoint(path: str, state: Any) -> Tuple[Any, Optional[Dict]]:
 
 def save_params_only(path: str, params: Any) -> None:
     """Inference-only export (the reference's `{epoch}_net_detector.pth` analog)."""
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
