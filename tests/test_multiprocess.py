@@ -110,3 +110,42 @@ def test_two_process_train_matches_single_process(tmp_path):
     # process-0-only checkpointing: exactly one writer
     assert os.path.exists(tmp_path / "proc0.msgpack")
     assert not os.path.exists(tmp_path / "proc1.msgpack")
+
+
+def test_cli_multihost_train(tmp_path):
+    """The full user surface: two `train-detector` CLI processes with
+    --coordinator-address/--num-processes/--process-id train one global model;
+    only process 0 logs and writes checkpoints."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    common = [sys.executable, "-m", "usip_tpu.cli", "train-detector",
+              "--dataset", "modelnet", "--synthetic", "--platform", "cpu",
+              "--epochs", "1", "--batch-size", "4", "--num-devices", "8",
+              "--name", "mp", "--checkpoints-dir", str(tmp_path),
+              "--override", "data.input_pc_num=128",
+              "--override", "data.node_num=16",
+              "--override", "detector.c1=16",
+              "--override", "detector.c2=32",
+              "--override", "detector.node_knn_k=4",
+              "--coordinator-address", f"127.0.0.1:{port}",
+              "--num-processes", "2"]
+    procs = [subprocess.Popen(common + ["--process-id", str(pid)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True, env=env,
+                              cwd=REPO) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"CLI worker failed:\n{out[-3000:]}"
+    # process 0 prints the training log; process 1 stays silent
+    assert "[train]" in outs[0]
+    assert "[train]" not in outs[1]
+    assert os.path.exists(tmp_path / "mp" / "last.msgpack")

@@ -35,6 +35,18 @@ def _add_common(p):
                    help="capture a jax.profiler trace of one steady-state step")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="force a jax platform (cpu enables TPU-less smoke runs)")
+    p.add_argument("--coordinator-address", default=None,
+                   help="multi-host training: coordinator host:port. Launch "
+                        "one process per host with --num-processes and "
+                        "--process-id; --num-devices counts GLOBAL devices, "
+                        "--batch-size and the data loader are PER HOST (the "
+                        "global batch is the per-host batches concatenated "
+                        "in process order). Only process 0 logs and writes "
+                        "checkpoints.")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's index")
 
 
 def _build_config(args, role="detector"):
@@ -780,6 +792,13 @@ def main(argv=None):
     if getattr(args, "platform", None):
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "coordinator_address", None) is not None \
+            or getattr(args, "num_processes", None) is not None:
+        # must run before any backend use (after the platform override above)
+        from usip_tpu.parallel import initialize_distributed
+        initialize_distributed(coordinator_address=args.coordinator_address,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
     args.fn(args)
 
 

@@ -17,15 +17,23 @@ import numpy as np
 
 class MetricsLogger:
     def __init__(self, out_dir: str, name: str = "train"):
+        import jax  # local: keep module importable without backend init
+
+        # multi-host runs log from process 0 only (every process computes the
+        # same replicated metrics; N writers on a shared checkpoint dir would
+        # interleave the JSONL stream)
+        self._primary = jax.process_count() == 1 or jax.process_index() == 0
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, f"{name}_metrics.jsonl")
-        self._fh = open(self.path, "a")
+        self._fh = open(self.path, "a") if self._primary else None
         self._t0 = time.time()
 
     def log(self, step: int, epoch: int, metrics: Dict[str, float],
             prefix: str = "train", to_console: bool = True,
             extra: Optional[Dict] = None) -> None:
+        if not self._primary:
+            return
         record = {"step": step, "epoch": epoch, "prefix": prefix,
                   "wall": round(time.time() - self._t0, 3)}
         record.update({k: float(v) for k, v in metrics.items()})
@@ -41,6 +49,8 @@ class MetricsLogger:
         """Dump named point arrays (pc/nodes/keypoints/sigmas) for offline 3D
         inspection — the visdom scatter payload equivalent
         (keypoint_detector.py:259-334)."""
+        if not self._primary:
+            return ""
         vis_dir = os.path.join(self.out_dir, "visuals")
         os.makedirs(vis_dir, exist_ok=True)
         path = os.path.join(vis_dir, f"{tag}_{step}.npz")
@@ -48,7 +58,8 @@ class MetricsLogger:
         return path
 
     def close(self):
-        self._fh.close()
+        if self._fh is not None:
+            self._fh.close()
 
 
 class RunningAverages:
