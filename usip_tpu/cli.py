@@ -627,7 +627,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1,
                    help="pinned serving batch (static shapes)")
     p.add_argument("--platforms", default="cpu,tpu",
-                   help="comma-separated lowering targets")
+                   help="comma-separated lowering targets; 'tpu' alone "
+                        "keeps the Mosaic FPS kernel in the artifact "
+                        "(fastest serving form — not loadable on cpu)")
     p.add_argument("--descriptor-checkpoint", default=None,
                    help="also export a descriptor artifact")
     p.add_argument("--desc-out", default=None,

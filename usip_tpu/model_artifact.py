@@ -37,6 +37,34 @@ import numpy as np
 _MAGIC = b"USIPART1"
 
 
+def _export_program(fn, args, platforms: Sequence[str], uses_fps: bool):
+    """Lower + export ``fn`` for ``platforms``.
+
+    Multi-platform artifacts must stay free of Mosaic ``tpu_custom_call``s
+    (they neither lower for cpu nor serialize portably), so FPS is pinned to
+    the portable XLA path. A TPU-only artifact (``platforms=("tpu",)``) keeps
+    the Mosaic VMEM-resident FPS kernel — the custom call round-trips
+    jax.export when its safety check is explicitly waived — recovering the
+    in-process headline throughput at serving time (PERFORMANCE.md, AOT
+    section)."""
+    import jax
+
+    from usip_tpu.ops.sampling import assume_tpu_fps, force_xla_fps
+
+    tpu_only = tuple(platforms) == ("tpu",)
+    if tpu_only and uses_fps:
+        checks = [jax.export.DisabledSafetyCheck.custom_call(
+            "tpu_custom_call")]
+        with assume_tpu_fps():
+            return jax.export.export(jax.jit(fn), platforms=list(platforms),
+                                     disabled_checks=checks)(*args)
+    if uses_fps:
+        with force_xla_fps():
+            return jax.export.export(jax.jit(fn),
+                                     platforms=list(platforms))(*args)
+    return jax.export.export(jax.jit(fn), platforms=list(platforms))(*args)
+
+
 def _write(path: str, header: dict, blob: bytes) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     hdr = json.dumps(header).encode()
@@ -71,13 +99,13 @@ def export_detector_artifact(cfg, checkpoint: str, path: str, batch: int = 1,
     import jax
     import jax.numpy as jnp
 
-    from usip_tpu.ops.sampling import force_xla_fps
     from usip_tpu.train.checkpoint import restore_checkpoint
     from usip_tpu.train.loop import init_detector_state
     from usip_tpu.train.steps import make_detector_infer
 
     if cfg.detector.fusion_backend != "xla":
-        # the Mosaic fused chain doesn't lower portably either
+        # the Mosaic fused chain is off-default (measured slower) — always
+        # export the XLA fusion path, even for TPU-only artifacts
         cfg = cfg.with_overrides(**{"detector.fusion_backend": "xla"})
     model, state = init_detector_state(cfg, cfg.train.seed)
     state, _ = restore_checkpoint(checkpoint, state)
@@ -91,9 +119,7 @@ def export_detector_artifact(cfg, checkpoint: str, path: str, batch: int = 1,
     args = (jax.ShapeDtypeStruct((batch, n, 3), jnp.float32),
             jax.ShapeDtypeStruct((batch, n, s), jnp.float32),
             jax.ShapeDtypeStruct((2,), jnp.uint32))
-    with force_xla_fps():  # no Mosaic custom calls in portable artifacts
-        exp = jax.export.export(jax.jit(detect),
-                                platforms=list(platforms))(*args)
+    exp = _export_program(detect, args, platforms, uses_fps=True)
     header = {"kind": "detector", "batch": batch, "input_pc_num": n,
               "sn_len": s, "node_num": cfg.data.node_num,
               "platforms": list(platforms), "dataset": cfg.data.dataset,
@@ -131,7 +157,7 @@ def export_descriptor_artifact(cfg, descriptor_checkpoint: str, path: str,
             jax.ShapeDtypeStruct((batch, n, s), jnp.float32),
             jax.ShapeDtypeStruct((batch, m, 3), jnp.float32),
             jax.ShapeDtypeStruct((2,), jnp.uint32))
-    exp = jax.export.export(jax.jit(describe), platforms=list(platforms))(*args)
+    exp = _export_program(describe, args, platforms, uses_fps=False)
     header = {"kind": "descriptor", "batch": batch, "input_pc_num": n,
               "sn_len": s, "keypoint_num": m,
               "descriptor_len": cfg.descriptor.descriptor_len,
@@ -154,7 +180,6 @@ def export_pipeline_artifact(cfg, detector_checkpoint: str,
     import jax
     import jax.numpy as jnp
 
-    from usip_tpu.ops.sampling import force_xla_fps
     from usip_tpu.train.checkpoint import restore_checkpoint
     from usip_tpu.train.descriptor_loop import init_descriptor_state
     from usip_tpu.train.loop import init_detector_state
@@ -180,9 +205,7 @@ def export_pipeline_artifact(cfg, detector_checkpoint: str,
     args = (jax.ShapeDtypeStruct((batch, n, 3), jnp.float32),
             jax.ShapeDtypeStruct((batch, n, s), jnp.float32),
             jax.ShapeDtypeStruct((2,), jnp.uint32))
-    with force_xla_fps():  # no Mosaic custom calls in portable artifacts
-        exp = jax.export.export(jax.jit(serve),
-                                platforms=list(platforms))(*args)
+    exp = _export_program(serve, args, platforms, uses_fps=True)
     header = {"kind": "pipeline", "batch": batch, "input_pc_num": n,
               "sn_len": s, "node_num": cfg.data.node_num,
               "descriptor_len": cfg.descriptor.descriptor_len,

@@ -45,6 +45,7 @@ def _fps_single(points: Array, k: int, first: Array) -> Tuple[Array, Array]:
 
 
 _FORCE_XLA_FPS = False
+_ASSUME_TPU_FPS = False
 
 
 @contextlib.contextmanager
@@ -61,6 +62,22 @@ def force_xla_fps():
         yield
     finally:
         _FORCE_XLA_FPS = prev
+
+
+@contextlib.contextmanager
+def assume_tpu_fps():
+    """Trace-time override: let the 'auto' FPS dispatch treat the lowering
+    target as TPU even when the tracing process runs on another backend.
+    Used by ``model_artifact`` when exporting a TPU-only artifact (so the
+    Mosaic ``fps_pallas`` kernel is embedded) from any host. The kernel's
+    shape/dtype/VMEM eligibility guards still apply."""
+    global _ASSUME_TPU_FPS
+    prev = _ASSUME_TPU_FPS
+    _ASSUME_TPU_FPS = True
+    try:
+        yield
+    finally:
+        _ASSUME_TPU_FPS = prev
 
 
 def _use_pallas_fps(backend: str, points: Array, k: int) -> bool:
@@ -80,7 +97,8 @@ def _use_pallas_fps(backend: str, points: Array, k: int) -> bool:
     if backend != "auto":
         return False
     b, n, _ = points.shape
-    return (jax.default_backend() == "tpu" and points.dtype == jnp.float32
+    on_tpu = _ASSUME_TPU_FPS or jax.default_backend() == "tpu"
+    return (on_tpu and points.dtype == jnp.float32
             and n % 128 == 0 and b * n * 4 <= 2 * 1024 * 1024)
 
 

@@ -35,7 +35,8 @@ Array = jax.Array
 
 
 def _apply_layer(cfg, variables, name, x, *, features, activation,
-                 normalization, compute_dtype=True):
+                 normalization, compute_dtype=True, train=False,
+                 bn_momentum=0.1, new_stats=None):
     # the model runs its final (un-normalized) layers conv5/fc3 in fp32
     # regardless of compute_dtype (models/descriptor.py:72,88)
     dt = jnp.bfloat16 if (compute_dtype and
@@ -43,9 +44,19 @@ def _apply_layer(cfg, variables, name, x, *, features, activation,
     layer = PointwiseLayer(features, activation=activation,
                            normalization=normalization, dtype=dt)
     sub = {"params": variables["params"][name]}
-    if "batch_stats" in variables and name in variables["batch_stats"]:
+    has_stats = ("batch_stats" in variables
+                 and name in variables["batch_stats"])
+    if has_stats:
         sub["batch_stats"] = variables["batch_stats"][name]
-    return layer.apply(sub, x, False, 0.1)
+    if train and has_stats:
+        y, mut = layer.apply(sub, x, True, bn_momentum,
+                             mutable=["batch_stats"])
+        if new_stats is not None:
+            new_stats[name] = mut["batch_stats"]
+        return y
+    if new_stats is not None and has_stats:
+        new_stats[name] = sub["batch_stats"]
+    return layer.apply(sub, x, train, bn_momentum)
 
 
 def sharded_describe(mesh: Mesh, cfg: Config, variables, pc: Array, sn: Array,
@@ -74,18 +85,41 @@ def sharded_describe(mesh: Mesh, cfg: Config, variables, pc: Array, sn: Array,
                                       priority)
     g_xyz = feats[..., 0:3] - keypoints[:, :, None, :]
     ball_feats = jnp.concatenate([g_xyz, feats[..., 3:]], axis=-1)
+    desc, _ = describe_from_ball_feats(cfg, variables, ball_feats)
+    return desc, ball_feats
+
+
+def describe_from_ball_feats(cfg: Config, variables, ball_feats: Array,
+                             train: bool = False, bn_momentum=0.1
+                             ) -> Tuple[Array, dict]:
+    """The descriptor conv stack on (replicated, already-decentered) ball
+    features ``(B, M, K, 3+S)`` — everything in ``Descriptor.__call__`` after
+    the grouping step, re-applied by submodule name with the same variables.
+
+    Train mode runs batch-norm on batch statistics and returns the updated
+    ``batch_stats`` as the second element (train=False echoes the input
+    stats). Because the ball features are replicated across the mesh (the
+    gather's all_gather made them global), BN batch statistics computed here
+    are already global — no cross-shard psum is needed, unlike the detector
+    trunk's point-sharded BN (sharded_train.py).
+    """
+    dcfg = cfg.descriptor
+    d = dcfg.descriptor_len
+    new_stats: dict = {}
     h = ball_feats
 
     act, norm = dcfg.activation, dcfg.normalization
     for i, c in enumerate((d // 4, d // 2, d)):
         h = _apply_layer(cfg, variables, f"conv{i + 1}", h, features=c,
-                         activation=act, normalization=norm)
+                         activation=act, normalization=norm, train=train,
+                         bn_momentum=bn_momentum, new_stats=new_stats)
     h_max = jnp.max(h, axis=-2, keepdims=True)
     # virtual concat (split kernel) exactly like the single-chip model —
     # in bf16 the split and materialized forms round differently, so the
     # same form is required for bit parity
     y = _apply_layer(cfg, variables, "conv4", (h, h_max), features=d,
-                     activation=act, normalization=norm)
+                     activation=act, normalization=norm, train=train,
+                     bn_momentum=bn_momentum, new_stats=new_stats)
     y = _apply_layer(cfg, variables, "conv5", y, features=d, activation=None,
                      normalization=None, compute_dtype=False)
     desc = jnp.max(y, axis=-2).astype(jnp.float32)
@@ -96,15 +130,17 @@ def sharded_describe(mesh: Mesh, cfg: Config, variables, pc: Array, sn: Array,
         # always fp32 (models/descriptor.py:80-85) — match that here
         z = _apply_layer(cfg, variables, "fc1", (desc, global_desc),
                          features=2 * d, activation=act, normalization=norm,
-                         compute_dtype=False)
+                         compute_dtype=False, train=train,
+                         bn_momentum=bn_momentum, new_stats=new_stats)
         z = _apply_layer(cfg, variables, "fc2", z, features=d, activation=act,
-                         normalization=norm, compute_dtype=False)
+                         normalization=norm, compute_dtype=False, train=train,
+                         bn_momentum=bn_momentum, new_stats=new_stats)
         desc = _apply_layer(cfg, variables, "fc3", z, features=d,
                             activation=None, normalization=None,
                             compute_dtype=False)
 
     nrm = safe_sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True))
-    return desc / (nrm + 1e-5), ball_feats
+    return desc / (nrm + 1e-5), new_stats
 
 
-__all__ = ["sharded_describe", "Descriptor"]
+__all__ = ["sharded_describe", "describe_from_ball_feats", "Descriptor"]

@@ -221,3 +221,117 @@ def make_sharded_detector_train_step(cfg: Config, mesh: Mesh):
         return new_state, metrics
 
     return step
+
+
+def make_sharded_descriptor_train_step(cfg: Config, mesh: Mesh,
+                                       use_cgf: bool = False):
+    """Point-sharded descriptor TRAIN step (the training analog of
+    ``sharded_descriptor.sharded_describe``).
+
+    A cloud that needs point sharding to *detect* can now be
+    *described-trained* too: the frozen detector forward runs point-sharded
+    (``sharded_detector_apply``), the descriptor's O(N) grouping runs through
+    ``sharded_ops.sharded_ball_gather`` (per-shard candidate top-k + one tiny
+    all_gather), and the conv stack + triplet loss + backward operate on the
+    replicated (B, M, K, C) ball features — BN batch statistics are global by
+    construction there (see ``describe_from_ball_feats``). Gradients flow only
+    through the conv stack (grouping is under stop_gradient in the single-chip
+    model too, models/descriptor.py:50-52), so no reverse collectives are
+    needed beyond the gather's transpose.
+
+    Signature (explicit tensors, nodes pre-sampled upstream, like
+    ``make_sharded_detector_train_step``)::
+
+        step(desc_state, det_state, anc_pc, anc_sn, anc_node,
+             pos_pc, pos_sn, pos_node, neg_idx, key, epoch)
+            -> (desc_state, metrics)
+
+    ``use_cgf=False`` trains the outdoor scan triplet with in-batch negatives
+    (``neg_idx`` permutes the anchor batch). CGF/indoor training aligns the
+    anchor via a GT transform generated upstream — not wired here; use the
+    unsharded step (indoor fragments are 5-10k points, far below the SP
+    threshold).
+    """
+    import optax
+
+    from usip_tpu.data import augment
+    from usip_tpu.nn.layers import bn_momentum_schedule
+    from usip_tpu.parallel.sharded_descriptor import describe_from_ball_feats
+    from usip_tpu.parallel.sharded_ops import sharded_ball_gather
+
+    if use_cgf:
+        raise NotImplementedError(
+            "sharded descriptor training implements the outdoor scan-triplet "
+            "objective; the CGF/indoor preset operates on small fragments "
+            "that do not need point sharding — use the unsharded step")
+
+    dcfg = cfg.descriptor
+
+    def _gather_balls(pc, sn, kp, key):
+        b, n, _ = pc.shape
+        x_aug = (jnp.concatenate([pc, sn], axis=-1)
+                 if dcfg.surface_normal_len > 0 else pc)
+        priority = jax.random.uniform(key, (b, n), dtype=jnp.float32)
+        feats, _, _ = sharded_ball_gather(
+            mesh, jax.lax.stop_gradient(kp), jax.lax.stop_gradient(pc),
+            jax.lax.stop_gradient(x_aug), dcfg.ball_radius,
+            dcfg.ball_nsamples, priority)
+        g_xyz = feats[..., 0:3] - kp[:, :, None, :]
+        return jnp.concatenate([g_xyz, feats[..., 3:]], axis=-1)
+
+    def step(desc_state, det_state, anc_pc, anc_sn, anc_node,
+             pos_pc, pos_sn, pos_node, neg_idx, key, epoch):
+        k_ball_a, k_ball_p, k_height = jax.random.split(key, 3)
+        aug = cfg.augment
+
+        # frozen detector, point-sharded forward (run_model_siamese analog)
+        det_vars = jax.lax.stop_gradient(det_state.variables)
+        b = anc_pc.shape[0]
+        pc = jnp.concatenate([anc_pc, pos_pc], axis=0)
+        sn = jnp.concatenate([anc_sn, pos_sn], axis=0)
+        node = jnp.concatenate([anc_node, pos_node], axis=0)
+        (_, kp, sig), _ = sharded_detector_apply(
+            mesh, cfg, det_vars, pc, sn, node, train=False)
+        anc_kp, pos_kp = kp[:b], kp[b:]
+        anc_sig = sig[:b]
+
+        if aug.height_scale:
+            # post-detector height scaling of clouds AND keypoints
+            # (oxford/train_descriptor.py:123-130); elementwise, so it
+            # operates on the sharded arrays transparently
+            anc_pc, pos_pc, anc_kp, pos_kp = augment.random_height_scale(
+                k_height, [anc_pc, pos_pc, anc_kp, pos_kp],
+                aug.height_scale_low, aug.height_scale_high, axis=1)
+
+        ball_a = _gather_balls(anc_pc, anc_sn, anc_kp, k_ball_a)
+        ball_p = _gather_balls(pos_pc, pos_sn, pos_kp, k_ball_p)
+
+        momentum = bn_momentum_schedule(
+            cfg.train.bn_momentum, epoch, cfg.train.bn_momentum_decay_step,
+            cfg.train.bn_momentum_decay)
+
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": desc_state.batch_stats}
+            anc_desc, stats1 = describe_from_ball_feats(
+                cfg, variables, ball_a, train=True, bn_momentum=momentum)
+            variables = {"params": params, "batch_stats": stats1}
+            pos_desc, new_stats = describe_from_ball_feats(
+                cfg, variables, ball_p, train=True, bn_momentum=momentum)
+            neg_desc = anc_desc[neg_idx]
+            loss_bm, active = losses.desc_pair_scan_loss(
+                anc_desc, pos_desc, neg_desc, anc_sig,
+                gamma=cfg.loss.triple_loss_gamma,
+                sigma_max=cfg.loss.sigma_max)
+            total = jnp.mean(loss_bm)
+            metrics = {"loss": total, "active_percentage": jnp.mean(active),
+                       "sigma_mean": jnp.mean(anc_sig)}
+            return total, (new_stats, metrics)
+
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(desc_state.params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = desc_state.apply_gradients(grads, new_stats)
+        return new_state, metrics
+
+    return step
