@@ -271,3 +271,300 @@ def build_synthetic_kitti_tree(root: str, train_seqs=range(9),
                              "groundtruths.txt"), poses, pairs)
         counts[seq] = n_frames
     return counts
+
+
+# --------------------------------------------------------------------------
+# Synthetic indoor trees: SceneNN-style RGB-D frame scans for training
+# (frames_<mode>/*.npy + info_<mode>.pkl, the directory contract of
+# data/scenenn_detector_loader.py:48-67 / scenenn_descriptor_loader.py:60-96)
+# and 3DMatch-style fused fragments + gt.log/gt.info for the indoor
+# fragment-registration protocol (eval_indoor/fullEvaluation.m:1-12,
+# 3dmatch/register2Fragments.m:15-160). Lets the COMPLETE indoor pipeline —
+# lite detector -> global-context descriptor (CGF loss) -> fragment
+# registration -> recall/precision — run end to end with no downloads.
+
+
+def _sample_plane(rng, n, origin, u, v, normal, eu, ev, noise=0.004):
+    """n points on the rectangle origin + [0,eu]*u + [0,ev]*v."""
+    a = rng.uniform(0, eu, size=n)
+    b = rng.uniform(0, ev, size=n)
+    p = (origin[None, :] + a[:, None] * u[None, :] + b[:, None] * v[None, :]
+         + normal[None, :] * rng.normal(scale=noise, size=(n, 1)))
+    return p, np.tile(np.asarray(normal, float), (n, 1))
+
+
+def _make_room(rng, density: float = 260.0):
+    """Indoor world (world frame, z-up): floor/ceiling/4 walls + furniture
+    boxes + cylinders. Returns (points (N,3), normals (N,3), curvature (N,),
+    (w, d, h) room extents)."""
+    w = rng.uniform(4.5, 7.0)
+    d = rng.uniform(4.5, 7.0)
+    h = rng.uniform(2.5, 3.0)
+    ex = np.eye(3)
+    pts, nrm, curv = [], [], []
+    planes = [
+        # origin, u, v, inward normal, extents
+        (np.zeros(3), ex[0], ex[1], ex[2], w, d),          # floor
+        (np.array([0, 0, h]), ex[0], ex[1], -ex[2], w, d),  # ceiling
+        (np.zeros(3), ex[0], ex[2], ex[1], w, h),           # wall y=0
+        (np.array([0, d, 0]), ex[0], ex[2], -ex[1], w, h),  # wall y=d
+        (np.zeros(3), ex[1], ex[2], ex[0], d, h),           # wall x=0
+        (np.array([w, 0, 0]), ex[1], ex[2], -ex[0], d, h),  # wall x=w
+    ]
+    for origin, u, v, n_vec, eu, ev in planes:
+        n_pts = int(density * eu * ev)
+        p, s = _sample_plane(rng, n_pts, origin, u, v, n_vec, eu, ev)
+        pts.append(p)
+        nrm.append(s)
+        curv.append(np.full(n_pts, 0.005))
+    # furniture boxes (tables, cabinets, sofas): corner structure
+    for _ in range(rng.integers(7, 13)):
+        size = rng.uniform([0.3, 0.3, 0.3], [1.6, 1.6, 1.4])
+        c = np.array([rng.uniform(0.5 + size[0] / 2, w - 0.5 - size[0] / 2),
+                      rng.uniform(0.5 + size[1] / 2, d - 0.5 - size[1] / 2),
+                      size[2] / 2])
+        nb = max(int(density * 2 * (size[0] * size[1] + size[0] * size[2]
+                                    + size[1] * size[2])), 64)
+        p, s = _sample_box(rng, c, size, rng.uniform(0, np.pi), nb)
+        pts.append(p + rng.normal(scale=0.006, size=p.shape))
+        nrm.append(s)
+        curv.append(np.full(nb, 0.02))
+    # cylinders (lamps, bins)
+    for _ in range(rng.integers(2, 5)):
+        hgt = rng.uniform(0.5, 1.6)
+        r = rng.uniform(0.08, 0.3)
+        npl = max(int(density * 2 * np.pi * r * hgt), 48)
+        t = rng.uniform(0, 2 * np.pi, size=npl)
+        z = rng.uniform(0, hgt, size=npl)
+        cx, cy = rng.uniform(0.6, w - 0.6), rng.uniform(0.6, d - 0.6)
+        p = np.stack([cx + r * np.cos(t), cy + r * np.sin(t), z], 1)
+        s = np.stack([np.cos(t), np.sin(t), np.zeros(npl)], 1)
+        pts.append(p + rng.normal(scale=0.004, size=p.shape))
+        nrm.append(s)
+        curv.append(np.full(npl, 0.12))
+    return (np.concatenate(pts).astype(np.float32),
+            np.concatenate(nrm).astype(np.float32),
+            np.concatenate(curv).astype(np.float32), (w, d, h))
+
+
+def _camera_pose(cam: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """4x4 cam->world pose with +z = view direction (look-at), x right,
+    y down — the RGB-D convention."""
+    z = _unit(target - cam)
+    up = np.array([0.0, 0, 1])
+    x = _unit(np.cross(z, up))
+    y = np.cross(z, x)
+    T = np.eye(4)
+    T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = x, y, z, cam
+    return T
+
+
+def _view_points(w_pts, cam, view_dir, radius: float, cos_half_fov: float):
+    """Mask of world points inside the camera's cone."""
+    rel = w_pts - cam[None, :]
+    dist = np.linalg.norm(rel, axis=1)
+    along = rel @ view_dir
+    return (dist < radius) & (along > cos_half_fov * np.maximum(dist, 1e-9))
+
+
+def _fixed_count(rng, arrays, target: int):
+    n = arrays[0].shape[0]
+    if n >= target:
+        sel = rng.choice(n, target, replace=False)
+    else:
+        sel = np.concatenate([np.arange(n),
+                              rng.choice(max(n, 1), target - n)])
+    return [a[sel] for a in arrays]
+
+
+def _frame_features(p_local, n_local, c_local):
+    return np.concatenate([p_local, n_local, c_local[:, None]],
+                          axis=1).astype(np.float32)
+
+
+def build_synthetic_scenenn_tree(root: str, train_frames: int = 48,
+                                 test_frames: int = 16,
+                                 target_points: int = 15000,
+                                 seed: int = 0) -> dict:
+    """Write a synthetic SceneNN tree under ``root``: per mode
+    ``frames_<mode>/<i>.npy`` (Nx7 camera-frame: xyz + normal(3) + curvature)
+    and ``info_<mode>.pkl`` with the reference's keys — ``pairs_np`` (P, 2)
+    [anchor, positive], ``icp_np`` (P, 4, 4) anchor->positive alignments
+    (exact here, ICP-refined in the real set), ``positive_list``,
+    ``sample_num`` (scenenn_detector_loader.py:48-67).
+
+    Frames are overlapping view-cone scans of one persistent room along an
+    interior orbit, each stored in its own camera frame — so descriptor
+    training must learn viewpoint-invariant local geometry exactly as on the
+    real set."""
+    import os
+    import pickle
+
+    counts = {}
+    for mode, n_frames, mode_seed in (("train", train_frames, 0),
+                                      ("test", test_frames, 1)):
+        rng = np.random.default_rng(np.random.SeedSequence(
+            [seed, 0x1D008, mode_seed]))
+        w_pts, w_nrm, w_curv, (w, d, h) = _make_room(rng)
+        center = np.array([w / 2, d / 2, rng.uniform(1.3, 1.6)])
+        theta = (np.linspace(0, 2 * np.pi, n_frames, endpoint=False)
+                 + rng.normal(scale=0.02, size=n_frames))
+        cams = center[None, :] + np.stack(
+            [0.28 * w * np.cos(theta), 0.28 * d * np.sin(theta),
+             rng.normal(scale=0.05, size=n_frames)], 1)
+        # look outward past the orbit so consecutive cones overlap heavily
+        targets = center[None, :] + np.stack(
+            [0.9 * w * np.cos(theta + 0.35), 0.9 * d * np.sin(theta + 0.35),
+             np.full(n_frames, -0.4)], 1)
+        poses = np.stack([_camera_pose(c, t) for c, t in zip(cams, targets)])
+
+        frame_dir = os.path.join(root, f"frames_{mode}")
+        os.makedirs(frame_dir, exist_ok=True)
+        masks = []
+        for i in range(n_frames):
+            view = poses[i, :3, 2]
+            mask = _view_points(w_pts, cams[i], view, radius=6.0,
+                                cos_half_fov=np.cos(np.deg2rad(60.0)))
+            masks.append(mask)
+            p, s, c = _fixed_count(
+                rng, [w_pts[mask], w_nrm[mask], w_curv[mask]], target_points)
+            R = poses[i, :3, :3]
+            p_local = (p - cams[i][None, :]) @ R       # world -> camera
+            n_local = s @ R
+            np.save(os.path.join(frame_dir, f"{i}.npy"),
+                    _frame_features(p_local, n_local, c))
+
+        # positives: nearby orbit frames gated by MEASURED view overlap (the
+        # real set selects pairs by reconstruction overlap); fixed angular
+        # offsets break down on small orbits where one step is tens of degrees
+        pairs, icps = [], []
+        positive_list = [[] for _ in range(n_frames)]
+        for i in range(n_frames):
+            chosen = []
+            for off in (-3, -2, -1, 1, 2, 3):
+                j = (i + off) % n_frames
+                if j == i or j in chosen:
+                    continue
+                olap = ((masks[i] & masks[j]).sum()
+                        / max(int(masks[i].sum()), 1))
+                if olap >= 0.45:
+                    chosen.append(j)
+            if not chosen:  # degenerate tiny orbit: best immediate neighbor
+                cands = [(i + 1) % n_frames, (i - 1) % n_frames]
+                chosen = [max(cands, key=lambda j: (masks[i] & masks[j]).sum())]
+            for j in chosen:
+                positive_list[i].append(j)
+                pairs.append([i, j])
+                icps.append(np.linalg.inv(poses[j]) @ poses[i])
+        info = {"pairs_np": np.asarray(pairs, np.int64),
+                "icp_np": np.asarray(icps, np.float64),
+                "positive_list": positive_list,
+                "sample_num": n_frames}
+        with open(os.path.join(root, f"info_{mode}.pkl"), "wb") as f:
+            pickle.dump(info, f)
+        counts[mode] = n_frames
+    return counts
+
+
+def build_synthetic_match3d_fragments(root: str,
+                                      scenes: int = 2,
+                                      fragments_per_scene: int = 8,
+                                      target_points: int = 20000,
+                                      overlap_gate: float = 0.30,
+                                      seed: int = 0) -> dict:
+    """Write 3DMatch-style eval fragments + ground truth under ``root``:
+    ``fragments/<scene>/<i>.npy`` (Nx7 fragment-local) and
+    ``gt/<scene>-evaluation/gt.log`` + ``gt.info`` — the layout consumed by
+    ``eval-indoor`` / ``eval/indoor.py`` (mrLoadLog/mrLoadInfo; the real set's
+    contract per 3dmatch/evaluate.m).
+
+    Each fragment is a wide-cone fused submap of the scene's room from one
+    viewpoint; gt entries cover fragment pairs whose gt-aligned overlap
+    exceeds ``overlap_gate``, with the Choi et al. information matrix computed
+    from the overlapping points (register2Fragments.m:78-91)."""
+    import os
+
+    from scipy.spatial import cKDTree
+
+    from usip_tpu.eval.indoor import (LogEntry, information_matrix,
+                                      write_log_my)
+
+    out = {}
+    for s_idx in range(scenes):
+        scene = f"synth-scene{s_idx}"
+        rng = np.random.default_rng(np.random.SeedSequence(
+            [seed, 0x3D0A7C, s_idx]))
+        w_pts, w_nrm, w_curv, (w, d, h) = _make_room(rng)
+        center = np.array([w / 2, d / 2, rng.uniform(1.3, 1.6)])
+        theta = (np.linspace(0, 2 * np.pi, fragments_per_scene,
+                             endpoint=False)
+                 + rng.normal(scale=0.03, size=fragments_per_scene))
+        cams = center[None, :] + np.stack(
+            [0.22 * w * np.cos(theta), 0.22 * d * np.sin(theta),
+             rng.normal(scale=0.04, size=fragments_per_scene)], 1)
+        targets = center[None, :] + np.stack(
+            [0.9 * w * np.cos(theta + 0.3), 0.9 * d * np.sin(theta + 0.3),
+             np.full(fragments_per_scene, -0.3)], 1)
+        poses = np.stack([_camera_pose(c, t) for c, t in zip(cams, targets)])
+
+        frag_dir = os.path.join(root, "fragments", scene)
+        os.makedirs(frag_dir, exist_ok=True)
+        locals_w = []  # world-frame point sets per fragment (for gt overlap)
+        for i in range(fragments_per_scene):
+            view = poses[i, :3, 2]
+            mask = _view_points(w_pts, cams[i], view, radius=7.5,
+                                cos_half_fov=np.cos(np.deg2rad(75.0)))
+            p, s, c = _fixed_count(
+                rng, [w_pts[mask], w_nrm[mask], w_curv[mask]], target_points)
+            locals_w.append(p)
+            R = poses[i, :3, :3]
+            p_local = (p - cams[i][None, :]) @ R
+            n_local = s @ R
+            np.save(os.path.join(frag_dir, f"{i}.npy"),
+                    _frame_features(p_local, n_local, c))
+
+        # gt.log / gt.info over sufficiently-overlapping pairs
+        gt_dir = os.path.join(root, "gt", f"{scene}-evaluation")
+        os.makedirs(gt_dir, exist_ok=True)
+        log_entries, info_entries = [], []
+        n = fragments_per_scene
+        # overlap radius adapts to sampling density: two independent
+        # samplings of the SAME surface have NN distances ~ the per-fragment
+        # point spacing, so a fixed 0.1 m only works at production density
+        spacing = np.median(cKDTree(locals_w[0]).query(locals_w[0], k=2)[0][:, 1])
+        r_olap = max(0.1, 3.0 * float(spacing))
+        for i in range(n):
+            tree_i = cKDTree(locals_w[i])
+            for j in range(i + 1, n):
+                dists, _ = tree_i.query(locals_w[j], k=1,
+                                        distance_upper_bound=r_olap)
+                olap = np.count_nonzero(np.isfinite(dists)) / len(dists)
+                if olap < overlap_gate:
+                    continue
+                # transform aligning fragment j into fragment i's frame
+                trans = np.linalg.inv(poses[i]) @ poses[j]
+                # info matrix over fragment i's points inside the overlap
+                dists_i, _ = cKDTree(locals_w[j]).query(
+                    locals_w[i], k=1, distance_upper_bound=r_olap)
+                ov_i = locals_w[i][np.isfinite(dists_i)]
+                R_i = poses[i][:3, :3]
+                ov_i_local = (ov_i - poses[i][:3, 3][None, :]) @ R_i
+                sub = ov_i_local[rng.choice(
+                    len(ov_i_local), min(len(ov_i_local), 5000),
+                    replace=False)]
+                log_entries.append(LogEntry(i, j, n, trans))
+                info_entries.append(LogEntry(i, j, n, np.eye(4),
+                                             information=information_matrix(
+                                                 sub)))
+        with open(os.path.join(gt_dir, "gt.log"), "w") as f:
+            for e in log_entries:
+                f.write(f"{e.i}\t{e.j}\t{e.n}\n")
+                for row in e.trans:
+                    f.write("\t".join(f"{v:.10f}" for v in row) + "\n")
+        with open(os.path.join(gt_dir, "gt.info"), "w") as f:
+            for e in info_entries:
+                f.write(f"{e.i}\t{e.j}\t{e.n}\n")
+                for row in e.information:
+                    f.write("\t".join(f"{v:.8f}" for v in row) + "\n")
+        out[scene] = {"fragments": n, "gt_pairs": len(log_entries)}
+    return out

@@ -238,3 +238,98 @@ def run_export(cfg: Config, checkpoint: Optional[str], out_dir: str,
              "mean_keypoints": float(np.mean(counts)) if counts else 0.0,
              "clouds_per_sec": timed / elapsed if elapsed > 0 else 0.0}
     return stats
+
+
+class FragmentFrames:
+    """Eval dataset over an indoor fragment tree ``<pc_root>/<scene>/<i>.npy``
+    (the layout of ``cli eval-indoor --pc-root`` and the real 3DMatch
+    fragment dumps, match3d_eval_loader.py:39-57): yields fixed-size
+    subsamples with (seq=scene index, frame=i) keys."""
+
+    def __init__(self, cfg: Config, pc_root: str, scenes, sn_len: int = 4,
+                 seed: int = 0):
+        from usip_tpu.data.common import split_pc_sn, subsample_fixed
+        self._split, self._sub = split_pc_sn, subsample_fixed
+        self.cfg = cfg.data
+        self.pc_root = pc_root
+        self.sn_len = sn_len
+        self._rng = np.random.default_rng(seed)
+        self.items = []
+        for si, scene in enumerate(scenes):
+            folder = os.path.join(pc_root, scene)
+            n = len([f for f in os.listdir(folder) if f.endswith(".npy")])
+            for i in range(n):
+                self.items.append((si, scene, i))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index):
+        si, scene, frame = self.items[index]
+        data = np.load(os.path.join(self.pc_root, scene, f"{frame}.npy"))
+        data = self._sub(self._rng, data, self.cfg.input_pc_num)
+        pc, sn = self._split(data, self.sn_len)
+        return {"pc": pc, "sn": sn, "seq": np.int64(si),
+                "frame": np.int64(frame)}
+
+
+def run_export_fragments(cfg: Config, detector_checkpoint: str,
+                         descriptor_checkpoint: str, pc_root: str,
+                         out_root: str, scenes, nms_radius: float = 0.0,
+                         desired_num: int = 256,
+                         batch_size: Optional[int] = None) -> dict:
+    """Export per-fragment keypoint+descriptor features as the combined
+    ``<out_root>/<scene>/<i>.bin`` rows ``[x y z d_0..d_{D-1}]`` — the input
+    of the indoor registration eval (register2Fragments.m:23-30 via
+    Utils.load_descriptors; consumed by ``eval/indoor.py
+    load_fragment_features`` and ``cli eval-indoor --result-root``)."""
+    from usip_tpu.train.descriptor_loop import init_descriptor_state
+
+    model, state = init_detector_state(cfg, cfg.train.seed)
+    state, _ = restore_checkpoint(detector_checkpoint, state)
+    infer = jax.jit(make_detector_infer(cfg, model))
+
+    desc_model, desc_state = init_descriptor_state(cfg, cfg.train.seed)
+    desc_state, _ = restore_checkpoint(descriptor_checkpoint, desc_state)
+
+    @jax.jit
+    def describe(pc, sn, kp, key):
+        desc, _ = desc_model.apply(desc_state.variables, pc, sn, kp, key=key,
+                                   train=False)
+        return desc
+
+    ds = FragmentFrames(cfg, pc_root, scenes,
+                        sn_len=cfg.detector.surface_normal_len)
+    bs = batch_size or cfg.train.batch_size
+    loader = BatchLoader(ds, bs, shuffle=False, num_workers=2,
+                         drop_last=False)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(321)
+    frames = 0
+    scene_names = list(scenes)
+    for i, raw in enumerate(loader):
+        pc_in, sn_in, real_b = _place_batch(None, 1, raw["pc"], raw["sn"],
+                                            batch_size=bs)
+        kp, sig = infer(state, pc_in, sn_in, jax.random.fold_in(key, 2 * i))
+        kp, sig = np.asarray(kp)[:real_b], np.asarray(sig)[:real_b]
+        selected = np.stack([
+            select_keypoints(kp[b], sig[b], raw["pc"][b],
+                             nms_radius=nms_radius, desired_num=desired_num,
+                             rng=rng)
+            for b in range(kp.shape[0])])
+        pc_in, sn_in, kp_in, real_b = _place_batch(None, 1, raw["pc"],
+                                                   raw["sn"], selected,
+                                                   batch_size=bs)
+        desc = describe(pc_in, sn_in, kp_in, jax.random.fold_in(key, 2 * i + 1))
+        desc = np.asarray(desc)[:real_b]
+        for b in range(selected.shape[0]):
+            scene = scene_names[int(raw["seq"][b])]
+            frame = int(raw["frame"][b])
+            rows = np.concatenate(
+                [selected[b].astype(np.float32),
+                 desc[b].astype(np.float32)], axis=1)
+            path = os.path.join(out_root, scene, f"{frame}.bin")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            rows.tofile(path)
+            frames += 1
+    return {"frames": frames, "scenes": len(scene_names)}
