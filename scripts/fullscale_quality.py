@@ -171,7 +171,7 @@ def phase_train_desc(args):
 
 
 def _export_and_reg(cfg, det_ckpt, desc_ckpt, out_root, gt, calib_root,
-                    desired=128, max_trials=10000):
+                    desired=128, max_trials=10000, frame_yaw_seed=None):
     from usip_tpu.data.eval_loaders import KittiTestFrames
     from usip_tpu.eval.eval_runner import make_coord_fix, run_registration
     from usip_tpu.eval.export_runner import run_export_with_descriptors
@@ -185,7 +185,8 @@ def _export_and_reg(cfg, det_ckpt, desc_ckpt, out_root, gt, calib_root,
     desc_dir = os.path.join(out_root, "descriptors")
     stats = run_export_with_descriptors(
         cfg, detector_checkpoint=det_ckpt, descriptor_checkpoint=desc_ckpt,
-        kp_out=kp_dir, desc_out=desc_dir, desired_num=desired, dataset=ds)
+        kp_out=kp_dir, desc_out=desc_dir, desired_num=desired, dataset=ds,
+        frame_yaw_seed=frame_yaw_seed)
     res = run_registration(kp_dir, desc_dir, gt,
                            desc_dim=cfg.descriptor.descriptor_len,
                            max_trials=max_trials,
@@ -231,6 +232,22 @@ def phase_eval_reg(args):
     # replaced by random unit vectors — matching is chance, so this bounds
     # what keypoint geometry alone contributes to RANSAC success
     results["random_desc_floor"] = _random_desc_arm(args, cfg, gt, calib_root)
+
+    if getattr(args, "yaw", False):
+        # Discriminating protocol: per-frame random yaw applied to every
+        # cloud before detect+describe (keypoints rotated back, GT unchanged).
+        # Aligned synthetic frames are solvable by yaw-VARIANT untrained ball
+        # features (the round-1/2 finding); under mutual yaw only an
+        # invariance-trained descriptor keeps matching. The reference trains
+        # kitti with rot_horizontal for exactly this regime.
+        results["trained_desc_yaw"] = _export_and_reg(
+            cfg, det_ckpt, desc_ckpt,
+            os.path.join(args.root, "reg_trained_yaw"), gt, calib_root,
+            frame_yaw_seed=7)
+        results["untrained_desc_yaw"] = _export_and_reg(
+            cfg, det_ckpt, upath,
+            os.path.join(args.root, "reg_untrained_yaw"), gt, calib_root,
+            frame_yaw_seed=7)
     print(json.dumps(results))
 
 
@@ -340,6 +357,9 @@ def main():
     td.set_defaults(fn=phase_train_desc)
     er = sub.add_parser("eval-reg")
     er.add_argument("--root", default="/tmp/synth_kitti")
+    er.add_argument("--yaw", action="store_true",
+                    help="add per-frame-yaw arms (trained/untrained) — the "
+                         "discriminating rotation protocol")
     er.set_defaults(fn=phase_eval_reg)
     sm = sub.add_parser("smoke")
     sm.add_argument("--root", default=None,

@@ -127,6 +127,41 @@ def test_run_export_with_descriptors(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-2)
 
 
+def test_run_export_with_descriptors_frame_yaw(tmp_path):
+    """frame_yaw_seed rotates clouds before detect+describe and rotates the
+    exported keypoints BACK: they must still live on the original cloud."""
+    from usip_tpu.data.synthetic import SyntheticDataset
+    from usip_tpu.eval.export_runner import _frame_yaw_matrix
+
+    R = _frame_yaw_matrix(7, 0, 3)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(R, _frame_yaw_matrix(7, 0, 3))  # deterministic
+    assert not np.allclose(R, _frame_yaw_matrix(7, 0, 4))
+
+    cfg = _tiny_cfg()
+    _, det_state = init_detector_state(cfg, 0)
+    det_ckpt = str(tmp_path / "det.msgpack")
+    save_checkpoint(det_ckpt, det_state)
+    _, desc_state = init_descriptor_state(cfg, 1)
+    desc_ckpt = str(tmp_path / "desc.msgpack")
+    save_checkpoint(desc_ckpt, desc_state)
+    stats = run_export_with_descriptors(
+        cfg, det_ckpt, desc_ckpt, str(tmp_path / "kp"), str(tmp_path / "desc"),
+        desired_num=8, synthetic=True, frame_yaw_seed=7)
+    assert stats["frames"] == 16
+    base = SyntheticDataset(size=16, input_pc_num=cfg.data.input_pc_num,
+                            surface_normal_len=cfg.detector.surface_normal_len,
+                            seed=0)
+    for i in (0, 5):
+        kp = np.fromfile(os.path.join(str(tmp_path / "kp"), "00", f"{i}.bin"),
+                         np.float32).reshape(-1, 3)
+        pc = base[i]["src_pc"]
+        nn = np.sqrt(((kp[:, None] - pc[None]) ** 2).sum(-1)).min(1)
+        # un-rotated keypoints sit on/near the original cloud; a missing
+        # rotate-back would leave them on the yawed copy (NN dist ~ O(1))
+        assert nn.mean() < 0.25, nn.mean()
+
+
 def test_run_export_baseline_method(tmp_path):
     cfg = _tiny_cfg()
     out = str(tmp_path / "rand_kp")

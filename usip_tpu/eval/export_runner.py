@@ -84,18 +84,36 @@ def _place_batch(mesh, num_devices: int, *arrays, batch_size: int = 0):
     return tuple(shard_batch(mesh, np.asarray(a)) for a in arrays) + (real_b,)
 
 
+def _frame_yaw_matrix(seed: int, seq: int, frame: int) -> np.ndarray:
+    """Deterministic per-frame yaw (camera-frame vertical = y axis, the '2d'
+    regime of data/augment.py:56-58): R = Ry(theta), theta ~ U(0, 2pi)."""
+    theta = np.random.default_rng([seed, seq, frame]).uniform(0.0, 2 * np.pi)
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], np.float32)
+
+
 def run_export_with_descriptors(cfg: Config, detector_checkpoint: str,
                                 descriptor_checkpoint: str, kp_out: str,
                                 desc_out: str, nms_radius: float = 0.0,
                                 desired_num: int = 128,
                                 synthetic: bool = False,
                                 batch_size: Optional[int] = None,
-                                dataset=None) -> dict:
+                                dataset=None,
+                                frame_yaw_seed: Optional[int] = None) -> dict:
     """Export keypoints AND their descriptors as parallel .bin trees — the input
     format of the registration eval (evaluate_kitti.m:43-54).
 
     Keypoint selection (NMS + sigma top-K) happens first on host; the selected
     fixed-size keypoint set then goes back through the descriptor on device.
+
+    ``frame_yaw_seed``: when set, each frame's cloud (and sn[...,:3]) is
+    rotated by an independent per-frame yaw before detection+description, and
+    the exported keypoints are rotated back to the original frame. The
+    registration GT is unchanged, but descriptors are computed in mutually
+    yaw-rotated contexts — the discriminating LiDAR protocol (the reference
+    trains kitti with rot_horizontal for exactly this invariance,
+    kitti/options_detector.py rot_horizontal): yaw-variant untrained features
+    collapse while a yaw-augmentation-trained descriptor survives.
     """
     from usip_tpu.train.descriptor_loop import init_descriptor_state
 
@@ -127,24 +145,39 @@ def run_export_with_descriptors(cfg: Config, detector_checkpoint: str,
     frames = 0
     nd = cfg.train.num_devices
     for i, raw in enumerate(loader):
-        pc_in, sn_in, real_b = _place_batch(mesh, nd, raw["pc"], raw["sn"],
+        pc_np, sn_np = np.asarray(raw["pc"]), np.asarray(raw["sn"])
+        rots = None
+        if frame_yaw_seed is not None:
+            rots = [_frame_yaw_matrix(frame_yaw_seed, int(raw["seq"][b]),
+                                      int(raw["frame"][b]))
+                    for b in range(pc_np.shape[0])]
+            pc_np = np.stack([pc_np[b] @ rots[b].T
+                              for b in range(pc_np.shape[0])])
+            if sn_np.shape[-1] >= 3:
+                sn_np = np.concatenate(
+                    [np.stack([sn_np[b, :, :3] @ rots[b].T
+                               for b in range(sn_np.shape[0])]),
+                     sn_np[..., 3:]], axis=-1)
+        pc_in, sn_in, real_b = _place_batch(mesh, nd, pc_np, sn_np,
                                             batch_size=bs)
         kp, sig = infer(state, pc_in, sn_in, jax.random.fold_in(key, 2 * i))
         kp, sig = np.asarray(kp)[:real_b], np.asarray(sig)[:real_b]
         selected = np.stack([
-            select_keypoints(kp[b], sig[b], raw["pc"][b],
+            select_keypoints(kp[b], sig[b], pc_np[b],
                              nms_radius=nms_radius, desired_num=desired_num,
                              rng=rng)
             for b in range(kp.shape[0])])
-        pc_in, sn_in, kp_in, real_b = _place_batch(mesh, nd, raw["pc"],
-                                                   raw["sn"], selected,
+        pc_in, sn_in, kp_in, real_b = _place_batch(mesh, nd, pc_np,
+                                                   sn_np, selected,
                                                    batch_size=bs)
         desc = describe(pc_in, sn_in, kp_in, jax.random.fold_in(key, 2 * i + 1))
         desc = np.asarray(desc)[:real_b]
         for b in range(selected.shape[0]):
             seq, frame = int(raw["seq"][b]), int(raw["frame"][b])
+            kp_write = selected[b] @ rots[b] if rots is not None \
+                else selected[b]
             write_keypoints_bin(
-                os.path.join(kp_out, f"{seq:02d}", f"{frame}.bin"), selected[b])
+                os.path.join(kp_out, f"{seq:02d}", f"{frame}.bin"), kp_write)
             write_keypoints_bin(
                 os.path.join(desc_out, f"{seq:02d}", f"{frame}.bin"), desc[b])
             frames += 1
