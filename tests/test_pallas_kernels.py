@@ -125,3 +125,49 @@ def test_fps_auto_backend_guards():
     assert not _use_pallas_fps("auto", jnp.zeros((4, 250, 3), jnp.float32), 64)
     assert not _use_pallas_fps("auto", pc.astype(jnp.bfloat16), 64)
     assert not _use_pallas_fps("auto", jnp.zeros((64, 16384, 3), jnp.float32), 64)
+
+
+def test_smallest_k_pallas_matches_topk(rng):
+    """smallest_k_pallas (interpret mode) is bit-identical to lax.top_k
+    (negated) — values, indices, tie order — on ball-style rows: duplicated
+    priorities (ties), +inf out-of-ball entries, an all-inf row, a row with
+    fewer than k finite entries, and unaligned N (lane padding)."""
+    import jax
+
+    from usip_tpu.ops.pallas_kernels import smallest_k_pallas
+
+    b, m, n, k = 2, 24, 640, 16
+    prio = rng.integers(0, 80, size=(b, 1, n)).astype(np.float32)  # many ties
+    in_ball = rng.uniform(size=(b, m, n)) < 0.25
+    scores = np.where(in_ball, np.broadcast_to(prio, (b, m, n)), np.inf)
+    scores[0, 0] = np.inf                    # empty ball
+    scores[0, 1] = np.inf
+    scores[0, 1, :3] = [5.0, 1.0, 5.0]       # fewer than k finite
+    s = jnp.asarray(scores.astype(np.float32))
+
+    nv, ni = jax.lax.top_k(-s, k)
+    for tr in (8, 16):
+        pv, pi = smallest_k_pallas(s, k, tile_rows=tr, interpret=True)
+        np.testing.assert_array_equal(np.asarray(pv), np.asarray(-nv))
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(ni))
+
+    # unaligned N: matches ops.topk.smallest_k's pad-clamp convention on the
+    # finite prefix (pad picks clamp to N-1, surfacing only past the finite
+    # count, where direct top_k's inf indices are arbitrary anyway)
+    s_u = jnp.asarray(rng.normal(size=(b, m, 500)).astype(np.float32))
+    nv_u, ni_u = jax.lax.top_k(-s_u, k)
+    pv_u, pi_u = smallest_k_pallas(s_u, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pv_u), np.asarray(-nv_u))
+    np.testing.assert_array_equal(np.asarray(pi_u), np.asarray(ni_u))
+
+
+def test_smallest_k_pallas_row_tiling(rng):
+    """tile_rows falls back to a divisor of the row count."""
+    from usip_tpu.ops.pallas_kernels import smallest_k_pallas
+
+    s = jnp.asarray(rng.normal(size=(6, 256)).astype(np.float32))
+    import jax
+    nv, ni = jax.lax.top_k(-s, 8)
+    pv, pi = smallest_k_pallas(s, 8, tile_rows=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pv), np.asarray(-nv))
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ni))

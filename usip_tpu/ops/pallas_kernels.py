@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -263,6 +264,103 @@ def fps_pallas(points: Array, first: Array, k: int,
         out_shape=jax.ShapeDtypeStruct((b, k), jnp.int32),
         interpret=interpret,
     )(planes[0], planes[1], planes[2], first2)
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident exact smallest-k (the grouped-trunk selection).
+#
+# The exact knn/ball trunks spend ~26 ms of their 30 ms forward in top-k over
+# (8, 512, 16384) K=64 — even with the two-stage chunked form
+# (PERFORMANCE.md "exact top-k"). XLA's top_k is a sorting network whose cost
+# scales with the full row; but K << N, so iterative min-extraction — K rounds
+# of (row-min, first-occurrence argmin, mask) on a VMEM-resident row tile —
+# does O(K*N) VPU work with zero intermediate HBM traffic and no sort. Same
+# pattern as the FPS kernel above (argmin via min-of-masked-lanes), K=64
+# rounds instead of 512.
+#
+# Tie semantics match lax.top_k(-s, k) bit-exactly, including rows holding
+# +inf entries (the ball query's "outside the radius" convention): +inf
+# scores are re-encoded as finite sentinels strictly increasing with lane
+# index, so equal +infs surface in ascending-index order exactly like XLA's
+# stable sort, and extraction can retire an element by setting it to true
+# +inf. Requires finite inputs < 1e37 (knn sq-distances and ball priorities
+# are O(1..N)); values >= the sentinel base would interleave with retired
+# entries.
+
+
+_SENT_BASE = float(np.float32(1e38))
+_SENT_STEP = float(np.float32(1e33))  # > ulp(1.2e38); 16384 steps < fp32 max
+
+
+def _smallest_k_kernel(scores_ref, vals_ref, idx_ref, *, k: int):
+    """Exact k smallest (values ascending + indices) of each row.
+
+    scores_ref: (TR, N) fp32; vals/idx out: (TR, k).
+    """
+    v = scores_ref[:]
+    tr, n = v.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr, n), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (tr, k), 1)
+    # +inf -> per-lane finite sentinel (ascending with lane => XLA tie order)
+    v = jnp.where(jnp.isfinite(v), v,
+                  _SENT_BASE + lane.astype(jnp.float32) * _SENT_STEP)
+
+    def body(i, state):
+        v, vals, idxs = state
+        m = jnp.min(v, axis=1, keepdims=True)                    # (TR, 1)
+        eq = v == m
+        pick = jnp.min(jnp.where(eq, lane, n), axis=1)           # first occ.
+        vals = jnp.where(lane_k == i, m, vals)
+        idxs = jnp.where(lane_k == i, pick[:, None], idxs)
+        v = jnp.where(lane == pick[:, None], jnp.inf, v)         # retire
+        return v, vals, idxs
+
+    _, vals, idxs = jax.lax.fori_loop(
+        0, k, body, (v, jnp.zeros((tr, k), jnp.float32),
+                     jnp.zeros((tr, k), jnp.int32)))
+    # sentinel picks were +inf in the input
+    vals_ref[:] = jnp.where(vals >= _SENT_BASE * 0.99, jnp.inf, vals)
+    idx_ref[:] = idxs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_rows", "interpret"))
+def smallest_k_pallas(scores: Array, k: int, tile_rows: int = 16,
+                      interpret: bool = False):
+    """Exact smallest-k over the last axis, whole selection in one Mosaic pass.
+
+    scores (..., N) fp32 (finite entries < 1e37, +inf allowed) ->
+    (values ascending, indices int32), bit-identical to
+    ``lax.top_k(-scores, k)`` negated, including tie order
+    (tests/test_pallas_kernels.py). N is padded to the lane width with +inf;
+    padded picks (only reachable when a row has < k finite entries, like the
+    direct form) are clamped to N-1 exactly like ``ops.topk.smallest_k``.
+
+    Differentiable: the VJP scatters the value cotangent back to the selected
+    positions — the same gradient ``lax.top_k`` has.
+    """
+    *lead, n = scores.shape
+    flat = scores.reshape(-1, n).astype(jnp.float32)
+    r = flat.shape[0]
+    pad = (-n) % 128
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    while r % tile_rows:
+        tile_rows //= 2
+    vals, idx = pl.pallas_call(
+        functools.partial(_smallest_k_kernel, k=k),
+        grid=(r // tile_rows,),
+        in_specs=[pl.BlockSpec((tile_rows, flat.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((tile_rows, k), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tile_rows, k), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((r, k), jnp.float32),
+                   jax.ShapeDtypeStruct((r, k), jnp.int32)],
+        interpret=interpret,
+    )(flat)
+    idx = jnp.minimum(idx, n - 1)
+    return vals.reshape(*lead, k), idx.reshape(*lead, k)
 
 
 def fold_pointwise_params(params, stats, eps: float = 1e-5):
