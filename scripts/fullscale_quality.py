@@ -158,10 +158,12 @@ def _detector_ckpt(root):
 def phase_train_desc(args):
     """Train the kitti-preset descriptor on the frozen full-scale detector
     (reference: kitti/train_descriptor.py — frozen detector + scan triplet /
-    pose-distance negative mining)."""
+    pose-distance negative mining). ``--desc-name`` trains an alternate arm
+    (e.g. the CGF keypoint triplet via
+    ``--desc-name cgf --override descriptor.use_cgf_loss=true``)."""
     from usip_tpu.cli import main as cli_main
     argv = ["train-descriptor", "--dataset", "kitti", "--dataroot", args.root,
-            "--name", "fullscale", "--epochs", str(args.epochs),
+            "--name", args.desc_name, "--epochs", str(args.epochs),
             "--checkpoints-dir", os.path.join(args.root, "ckpt"),
             "--detector-checkpoint", _detector_ckpt(args.root),
             "--override", "train.log_every=20"]
@@ -208,16 +210,20 @@ def phase_eval_reg(args):
             os.path.join(args.root, "kitti-reg-test"), seq))
     calib_root = os.path.join(args.root, "calib")
     det_ckpt = _detector_ckpt(args.root)
-    desc_dir = os.path.join(args.root, "ckpt", "fullscale_descriptor")
+    desc_dir = os.path.join(args.root, "ckpt",
+                            f"{args.desc_name}_descriptor")
     desc_ckpt = os.path.join(desc_dir, "best.msgpack")
     if not os.path.exists(desc_ckpt):
         desc_ckpt = os.path.join(desc_dir, "last.msgpack")
 
     cfg = _cfg(args)
-    results = {"phase": "eval-reg", "pairs": len(gt)}
+    trained_dir = (os.path.join(args.root, f"reg_trained_{args.desc_name}")
+                   if args.desc_name != "fullscale"
+                   else os.path.join(args.root, "reg_trained"))
+    results = {"phase": "eval-reg", "pairs": len(gt),
+               "desc_name": args.desc_name}
     results["trained_desc"] = _export_and_reg(
-        cfg, det_ckpt, desc_ckpt, os.path.join(args.root, "reg_trained"),
-        gt, calib_root)
+        cfg, det_ckpt, desc_ckpt, trained_dir, gt, calib_root)
 
     # untrained (random-init) descriptor on the same trained keypoints —
     # isolates what descriptor learning adds to the end metric
@@ -231,7 +237,9 @@ def phase_eval_reg(args):
     # pure-random descriptor floor: same trained keypoints, descriptors
     # replaced by random unit vectors — matching is chance, so this bounds
     # what keypoint geometry alone contributes to RANSAC success
-    results["random_desc_floor"] = _random_desc_arm(args, cfg, gt, calib_root)
+    results["random_desc_floor"] = _random_desc_arm(
+        args, cfg, gt, calib_root, kp_dir=os.path.join(trained_dir,
+                                                       "keypoints"))
 
     if getattr(args, "yaw", False):
         # Discriminating protocol: per-frame random yaw applied to every
@@ -241,8 +249,7 @@ def phase_eval_reg(args):
         # invariance-trained descriptor keeps matching. The reference trains
         # kitti with rot_horizontal for exactly this regime.
         results["trained_desc_yaw"] = _export_and_reg(
-            cfg, det_ckpt, desc_ckpt,
-            os.path.join(args.root, "reg_trained_yaw"), gt, calib_root,
+            cfg, det_ckpt, desc_ckpt, trained_dir + "_yaw", gt, calib_root,
             frame_yaw_seed=7)
         results["untrained_desc_yaw"] = _export_and_reg(
             cfg, det_ckpt, upath,
@@ -251,10 +258,11 @@ def phase_eval_reg(args):
     print(json.dumps(results))
 
 
-def _random_desc_arm(args, cfg, gt, calib_root, seed=17):
+def _random_desc_arm(args, cfg, gt, calib_root, seed=17, kp_dir=None):
     from usip_tpu.eval.eval_runner import make_coord_fix, run_registration
 
-    kp_dir = os.path.join(args.root, "reg_trained", "keypoints")
+    if kp_dir is None:
+        kp_dir = os.path.join(args.root, "reg_trained", "keypoints")
     desc_dir = os.path.join(args.root, "reg_randomdesc", "descriptors")
     d = cfg.descriptor.descriptor_len
     rng = np.random.default_rng(seed)
@@ -361,6 +369,12 @@ def main():
                     help="add per-frame-yaw arms (trained/untrained) — the "
                          "discriminating rotation protocol")
     er.set_defaults(fn=phase_eval_reg)
+    for p in (td, er):
+        p.add_argument("--desc-name", default="fullscale",
+                       help="descriptor arm name: checkpoints live in "
+                            "ckpt/<name>_descriptor (e.g. train a CGF arm "
+                            "with --desc-name cgf --override "
+                            "descriptor.use_cgf_loss=true)")
     sm = sub.add_parser("smoke")
     sm.add_argument("--root", default=None,
                     help="working dir (default: fresh temp dir)")

@@ -198,6 +198,41 @@ def test_descriptor_cgf_train_step(tmp_path):
     assert np.isfinite(avg["loss"])
 
 
+def test_descriptor_cgf_override(tmp_path):
+    """descriptor.use_cgf_loss=true swaps an OUTDOOR preset's scan triplet for
+    the per-keypoint CGF triplet (the yaw-protocol lever, PERFORMANCE.md) —
+    and the height-scale non-commutation refusal still fires."""
+    import pytest
+
+    from usip_tpu.train.checkpoint import save_checkpoint
+    from usip_tpu.train.descriptor_loop import DescriptorEngine
+
+    tiny = {"data.input_pc_num": 128, "data.parent_pc_num": 160,
+            "data.node_num": 16,
+            "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4,
+            "descriptor.descriptor_len": 16, "descriptor.ball_nsamples": 8,
+            "train.batch_size": 2, "train.log_every": 1000}
+    cfg = get_config("kitti", **dict(
+        tiny, **{"descriptor.use_cgf_loss": True,
+                 "augment.height_scale": False}))
+    assert not cfg.descriptor.use_global_context  # outdoor preset
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    ckpt = os.path.join(tmp_path, "det.msgpack")
+    save_checkpoint(ckpt, state)
+    engine = DescriptorEngine(cfg, ckpt, synthetic=True,
+                              out_dir=os.path.join(tmp_path, "desc"))
+    assert engine.use_cgf
+
+    # oxford is the preset that trains with height_scale — the CGF override
+    # there must hit the non-commutation refusal
+    cfg_bad = get_config("oxford", **dict(
+        tiny, **{"descriptor.use_cgf_loss": True}))
+    assert cfg_bad.augment.height_scale
+    with pytest.raises(NotImplementedError, match="height"):
+        DescriptorEngine(cfg_bad, ckpt, synthetic=True,
+                         out_dir=os.path.join(tmp_path, "desc_bad"))
+
+
 def test_engine_resume(tmp_path):
     """Full-state resume continues from the saved epoch with identical state."""
     from usip_tpu.data.pipeline import BatchLoader

@@ -66,6 +66,13 @@ class DescriptorConfig:
     ball_nsamples: int = 64
     # 'global' adds the PPFNet-style global-context fusion (networks.py:388-479)
     use_global_context: bool = False
+    # training objective: None follows the reference pairing (CGF keypoint
+    # triplet iff global-context/indoor, scan triplet otherwise,
+    # train_descriptor.py loss selection); True/False overrides it — e.g. the
+    # per-keypoint CGF triplet on an outdoor preset, the lever PERFORMANCE.md's
+    # yaw protocol identifies (requires augment.height_scale=false; the
+    # height rescale does not commute with post-detection CGF grouping)
+    use_cgf_loss: Optional[bool] = None
     # ball_query selection: 'exact' keeps the reference's uniform
     # without-replacement ball sampling semantics; 'auto' switches clouds
     # >=4096 points to the TPU approx_min_k partial reduction (7.6x faster,

@@ -67,6 +67,8 @@ class DescriptorEngine:
                                                cfg.train.name + "_descriptor")
         os.makedirs(self.out_dir, exist_ok=True)
         if use_cgf is None:
+            use_cgf = cfg.descriptor.use_cgf_loss
+        if use_cgf is None:
             use_cgf = cfg.descriptor.use_global_context  # indoor pipeline
         self.use_cgf = use_cgf
 
