@@ -171,3 +171,35 @@ def test_smallest_k_pallas_row_tiling(rng):
     pv, pi = smallest_k_pallas(s, 8, tile_rows=16, interpret=True)
     np.testing.assert_array_equal(np.asarray(pv), np.asarray(-nv))
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(ni))
+
+
+def test_smallest_k_pallas_grad_matches_topk(rng):
+    """The custom VJP scatters the value cotangent like lax.top_k's gradient."""
+    import jax
+
+    from usip_tpu.ops.pallas_kernels import smallest_k_pallas
+
+    s = jnp.asarray(rng.normal(size=(5, 384)).astype(np.float32))
+
+    def f_ref(x):
+        v, _ = jax.lax.top_k(-x, 8)
+        return jnp.sum(jnp.sin(-v) * jnp.arange(1.0, 9.0))
+
+    def f_pal(x):
+        v, _ = smallest_k_pallas(x, 8, interpret=True)
+        return jnp.sum(jnp.sin(v) * jnp.arange(1.0, 9.0))
+
+    np.testing.assert_allclose(np.asarray(jax.grad(f_pal)(s)),
+                               np.asarray(jax.grad(f_ref)(s)), atol=1e-6)
+
+
+def test_smallest_k_method_pallas(rng):
+    """ops.topk.smallest_k(method='pallas') routes to the Mosaic kernel
+    (interpreted off-TPU) and agrees with the default path."""
+    from usip_tpu.ops.topk import smallest_k
+
+    s = jnp.asarray(rng.normal(size=(4, 4096)).astype(np.float32))
+    dv, di = smallest_k(s, 16)
+    pv, pi = smallest_k(s, 16, method="pallas")
+    np.testing.assert_array_equal(np.asarray(pv), np.asarray(dv))
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(di))

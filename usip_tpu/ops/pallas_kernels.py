@@ -338,6 +338,35 @@ def smallest_k_pallas(scores: Array, k: int, tile_rows: int = 16,
     Differentiable: the VJP scatters the value cotangent back to the selected
     positions — the same gradient ``lax.top_k`` has.
     """
+    return _smallest_k_vjp(scores, k, tile_rows, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _smallest_k_vjp(scores, k, tile_rows, interpret):
+    return _smallest_k_impl(scores, k, tile_rows, interpret)
+
+
+def _smallest_k_fwd(scores, k, tile_rows, interpret):
+    vals, idx = _smallest_k_impl(scores, k, tile_rows, interpret)
+    return (vals, idx), (idx, scores.shape)
+
+
+def _smallest_k_bwd(k, tile_rows, interpret, res, cots):
+    idx, shape = res
+    gv, _ = cots
+    n = shape[-1]
+    flat_idx = idx.reshape(-1, k)
+    flat_gv = gv.reshape(-1, k).astype(jnp.float32)
+    rows = jnp.arange(flat_idx.shape[0], dtype=jnp.int32)[:, None]
+    d = jnp.zeros((flat_idx.shape[0], n), jnp.float32)
+    d = d.at[rows, flat_idx].add(flat_gv)
+    return (d.reshape(shape),)
+
+
+_smallest_k_vjp.defvjp(_smallest_k_fwd, _smallest_k_bwd)
+
+
+def _smallest_k_impl(scores: Array, k: int, tile_rows: int, interpret: bool):
     *lead, n = scores.shape
     flat = scores.reshape(-1, n).astype(jnp.float32)
     r = flat.shape[0]

@@ -40,9 +40,16 @@ def smallest_k(scores: Array, k: int, *, method: str = "auto"):
         the radius" convention).
       k: number of entries to select.
       method: ``'auto'`` (two-stage when N is long enough for it to pay),
-        ``'direct'``, or ``'twostage'``.
+        ``'direct'``, ``'twostage'``, or ``'pallas'`` (the VMEM-resident
+        Mosaic extraction kernel, ``pallas_kernels.smallest_k_pallas`` —
+        TPU only, fp32, finite entries < 1e37; same bit-exact contract).
     """
     n = scores.shape[-1]
+    if method == "pallas":
+        from usip_tpu.ops.pallas_kernels import smallest_k_pallas
+        # interpreter off-TPU so the method stays testable on CPU
+        return smallest_k_pallas(scores, k,
+                                 interpret=jax.default_backend() != "tpu")
     if method not in ("auto", "direct", "twostage"):
         raise ValueError(f"unknown smallest_k method {method!r}")
     if method == "twostage" and k > _CHUNK:
