@@ -60,6 +60,24 @@ def main():
     ap.add_argument("--desired", type=int, default=128)
     ap.add_argument("--platform", default=None,
                     choices=["cpu", "tpu", "axon"])
+    ap.add_argument("--ref-seeds", default="0",
+                    help="comma-separated rng seeds for the reference arm's "
+                         "stochastic node sampling (random-quarter subsample "
+                         "+ random FPS start, kitti_test_loader.py:74-131). "
+                         "Multiple seeds measure the reference protocol's "
+                         "own run-to-run spread — the scale against which "
+                         "the cross-framework |delta| must be read.")
+    ap.add_argument("--skip-ours", action="store_true",
+                    help="reuse an existing Arm-A export (parity_ours/)")
+    ap.add_argument("--ref-nodes", default="reference",
+                    choices=["reference", "full", "eighth"],
+                    help="'reference': the reference loader's node protocol "
+                         "(FPS over a random quarter subsample); 'full': FPS "
+                         "over the whole cloud; 'eighth': FPS over a random "
+                         "1/8 subsample (this framework's shipped "
+                         "fps_subsample_ratio=8 recipe) — isolates "
+                         "network/export parity from the node-sampling "
+                         "protocol difference")
     args = ap.parse_args()
 
     import jax
@@ -129,18 +147,25 @@ def main():
 
     # ---------------- Arm A: this framework end to end -------------------
     out_a = os.path.join(args.root, "parity_ours")
-    ds_a = make_ds()
-    if needed is not None:
-        ds_a = _Subset(ds_a)
-    t0 = time.perf_counter()
-    stats_a = run_export(cfg, ckpt, out_a, desired_num=args.desired,
-                         dataset=ds_a)
-    rep_a, arr_a = run_repeatability(out_a, out_a, gt, inlier_radius=0.5,
-                                     coord_fix=fix)
-    t_a = time.perf_counter() - t0
-    print(json.dumps({"arm": "ours", "frames": stats_a["frames"],
-                      "repeatability": float(rep_a), "pairs": len(arr_a),
-                      "seconds": round(t_a, 1)}), flush=True)
+    if args.skip_ours:
+        rep_a, arr_a = run_repeatability(out_a, out_a, gt, inlier_radius=0.5,
+                                         coord_fix=fix)
+        print(json.dumps({"arm": "ours", "reused": True,
+                          "repeatability": float(rep_a),
+                          "pairs": len(arr_a)}), flush=True)
+    else:
+        ds_a = make_ds()
+        if needed is not None:
+            ds_a = _Subset(ds_a)
+        t0 = time.perf_counter()
+        stats_a = run_export(cfg, ckpt, out_a, desired_num=args.desired,
+                             dataset=ds_a)
+        rep_a, arr_a = run_repeatability(out_a, out_a, gt, inlier_radius=0.5,
+                                         coord_fix=fix)
+        t_a = time.perf_counter() - t0
+        print(json.dumps({"arm": "ours", "frames": stats_a["frames"],
+                          "repeatability": float(rep_a), "pairs": len(arr_a),
+                          "seconds": round(t_a, 1)}), flush=True)
 
     # ---------------- Arm B: the reference source end to end --------------
     _, state = init_detector_state(cfg, seed=0)
@@ -149,50 +174,65 @@ def main():
     net = rr.build_reference_detector(cfg, args.reference, variables)
     ref_nms, ref_ensure = rr.load_reference_export_fns(args.reference)
 
-    out_b = os.path.join(args.root, "parity_ref")
-    ds_b = make_ds()
-    if needed is not None:
-        ds_b = _Subset(ds_b)
-    rng = np.random.default_rng(0)
-    t0 = time.perf_counter()
-    frames_b = 0
-    for j in range(len(ds_b)):
-        item = ds_b[j]
-        pc, sn = item["pc"], item["sn"]
-        node = reference_fps(
-            rng, pc[rng.choice(pc.shape[0], pc.shape[0] // 4,
-                               replace=False)],
-            cfg.data.node_num).astype(np.float32)
-        with torch.no_grad():
-            _, r_kp, r_sig, _ = net(
-                torch.as_tensor(pc.T[None]), torch.as_tensor(sn.T[None]),
-                torch.as_tensor(node.T[None]), is_train=False, epoch=None)
-        kp = r_kp.numpy()[0].T
-        sig = r_sig.numpy()[0]
-        # the reference export post-processing, nms_threshold=0 == pure
-        # sigma ranking (save_keypoints.py:343-351 with the kitti settings)
-        order = np.argsort(sig)[:args.desired]
-        sel = kp[order]
-        sel = ref_ensure(sel, pc, args.desired)
-        path = os.path.join(out_b, f"{int(item['seq']):02d}",
-                            f"{int(item['frame'])}.bin")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        sel.astype(np.float32).tofile(path)
-        frames_b += 1
-        if frames_b % 8 == 0:
-            print(f"[ref] {frames_b}/{len(ds_b)} frames "
-                  f"({(time.perf_counter() - t0) / frames_b:.1f} s/frame)",
-                  flush=True)
-    rep_b, arr_b = run_repeatability(out_b, out_b, gt, inlier_radius=0.5,
-                                     coord_fix=fix)
-    t_b = time.perf_counter() - t0
-    print(json.dumps({"arm": "reference", "frames": frames_b,
-                      "repeatability": float(rep_b), "pairs": len(arr_b),
-                      "seconds": round(t_b, 1)}), flush=True)
+    reps_b = []
+    for seed in [int(s) for s in args.ref_seeds.split(",")]:
+        out_b = os.path.join(args.root,
+                             f"parity_ref_{args.ref_nodes}_s{seed}")
+        ds_b = make_ds()
+        if needed is not None:
+            ds_b = _Subset(ds_b)
+        rng = np.random.default_rng(seed)
+        t0 = time.perf_counter()
+        frames_b = 0
+        for j in range(len(ds_b)):
+            item = ds_b[j]
+            pc, sn = item["pc"], item["sn"]
+            if args.ref_nodes == "reference":
+                node_src = pc[rng.choice(pc.shape[0], pc.shape[0] // 4,
+                                         replace=False)]
+            elif args.ref_nodes == "eighth":
+                node_src = pc[rng.choice(pc.shape[0], pc.shape[0] // 8,
+                                         replace=False)]
+            else:
+                node_src = pc
+            node = reference_fps(rng, node_src,
+                                 cfg.data.node_num).astype(np.float32)
+            with torch.no_grad():
+                _, r_kp, r_sig, _ = net(
+                    torch.as_tensor(pc.T[None]), torch.as_tensor(sn.T[None]),
+                    torch.as_tensor(node.T[None]), is_train=False, epoch=None)
+            kp = r_kp.numpy()[0].T
+            sig = r_sig.numpy()[0]
+            # the reference export post-processing, nms_threshold=0 == pure
+            # sigma ranking (save_keypoints.py:343-351 with the kitti settings)
+            order = np.argsort(sig)[:args.desired]
+            sel = kp[order]
+            sel = ref_ensure(sel, pc, args.desired)
+            path = os.path.join(out_b, f"{int(item['seq']):02d}",
+                                f"{int(item['frame'])}.bin")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            sel.astype(np.float32).tofile(path)
+            frames_b += 1
+            if frames_b % 24 == 0:
+                print(f"[ref s{seed}] {frames_b}/{len(ds_b)} frames "
+                      f"({(time.perf_counter() - t0) / frames_b:.1f} s/frame)",
+                      flush=True)
+        rep_b, arr_b = run_repeatability(out_b, out_b, gt, inlier_radius=0.5,
+                                         coord_fix=fix)
+        t_b = time.perf_counter() - t0
+        reps_b.append(float(rep_b))
+        print(json.dumps({"arm": "reference", "seed": seed,
+                          "frames": frames_b,
+                          "repeatability": float(rep_b), "pairs": len(arr_b),
+                          "seconds": round(t_b, 1)}), flush=True)
 
-    delta = abs(float(rep_a) - float(rep_b))
-    print(json.dumps({"phase": "parity",
-                      "ours": float(rep_a), "reference": float(rep_b),
+    rep_b = float(np.mean(reps_b))
+    delta = abs(float(rep_a) - rep_b)
+    spread = float(np.max(reps_b) - np.min(reps_b)) if len(reps_b) > 1 else None
+    print(json.dumps({"phase": "parity", "ref_nodes": args.ref_nodes,
+                      "ours": float(rep_a), "reference_mean": rep_b,
+                      "reference_runs": reps_b,
+                      "reference_spread": spread,
                       "abs_delta": delta, "pairs": len(arr_a),
                       "within_1pt": bool(delta <= 0.01 + 1e-9)}))
 
