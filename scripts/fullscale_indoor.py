@@ -187,7 +187,11 @@ def main():
     g = sub.add_parser("gen")
     g.add_argument("--frames", type=int, default=48)
     g.add_argument("--scenes", type=int, default=2)
-    g.add_argument("--fragments", type=int, default=8)
+    # 16 views around the ring: skip-2/skip-3 pairs still overlap >30%, so
+    # the eval's non-adjacent (j-i>1) recall set is populated (a ring of 8
+    # leaves almost only adjacent gt pairs, which evaluate_scene excludes
+    # per mrEvaluateRegistrationMy.m)
+    g.add_argument("--fragments", type=int, default=16)
     g.set_defaults(fn=phase_gen)
     td = sub.add_parser("train-det")
     td.add_argument("--epochs", type=int, default=40)
@@ -197,7 +201,10 @@ def main():
     tc.set_defaults(fn=phase_train_desc)
     e = sub.add_parser("eval")
     e.add_argument("--max-trials", type=int, default=1000)
-    e.add_argument("--num-keypoints", type=int, default=256)
+    # export every SOM proposal (scenenn node_num=512, options_detector.py:34)
+    # — at room scale 256 keypoints leave the gt-aligned NN spacing above the
+    # 0.2 m inlier threshold, capping RANSAC below the writeLog gates
+    e.add_argument("--num-keypoints", type=int, default=512)
     e.set_defaults(fn=phase_eval)
     for p in (g, td, tc, e):
         p.add_argument("--root", default="/tmp/synth_indoor")

@@ -139,6 +139,19 @@ def test_eval_rejects_bad_results():
     assert res2.false_positives == 1
 
 
+def test_empty_result_log_is_zero_recall(tmp_path):
+    """A result log with zero entries (every pair gated out) evaluates to
+    recall 0 instead of raising a parse error."""
+    from usip_tpu.eval.indoor import load_result_log
+
+    log_path = os.path.join(tmp_path, "empty.log")
+    write_log_my(log_path, [])
+    assert load_result_log(log_path) == []
+    _, gt, gt_info = _make_scene(seed=7)
+    res = evaluate_scene([], gt, gt_info)
+    assert res.recall == 0.0 and res.rs_num == 0 and res.good == 0
+
+
 def test_loop_evaluation_layout(tmp_path):
     """evaluate_scenes reads the <scene>-evaluation/gt.log+gt.info layout and
     both result-log formats (eval_loop.m / evaluate.m)."""

@@ -111,6 +111,10 @@ def load_result_log(path: str) -> List[LogEntry]:
     i < j, homogeneous bottom row [0 0 0 1] — and the parse explaining more of
     the file wins."""
     n_tokens = len(_read_tokens(path))
+    if n_tokens == 0:
+        # zero proposed registrations is a legitimate outcome (every pair
+        # gated out by writeLog.m:52-53) -> recall 0, not a parse error
+        return []
     candidates = []
     for loader, stride in ((load_log, 19), (load_log_my, 57)):
         try:
