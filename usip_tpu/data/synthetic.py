@@ -293,15 +293,38 @@ def _sample_plane(rng, n, origin, u, v, normal, eu, ev, noise=0.004):
     return p, np.tile(np.asarray(normal, float), (n, 1))
 
 
+def _rand_rotation(rng):
+    """Uniform random 3-D rotation (QR of a gaussian, sign-fixed)."""
+    q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+    q *= np.sign(np.diag(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    return q
+
+
 def _make_room(rng, density: float = 260.0):
-    """Indoor world (world frame, z-up): floor/ceiling/4 walls + furniture
-    boxes + cylinders. Returns (points (N,3), normals (N,3), curvature (N,),
-    (w, d, h) room extents)."""
+    """Indoor world (world frame, z-up): floor/ceiling/4 walls + dense,
+    ASYMMETRIC clutter — floor boxes (some stacked), wall-mounted boxes,
+    fully-tilted boxes, spheres, vertical cylinders, and horizontal pipes.
+
+    Bare planes are kept sparse relative to objects on purpose: descriptor
+    kNN matching over a mostly-planar symmetric room lets wall-sliding /
+    90-degree-symmetric false alignments collect more match support than the
+    true transform (RANSAC then registers the symmetry, failing the Choi
+    et al. pose-error gate p<=0.04 while passing the inlier gates) — the
+    registration protocol needs rooms whose 0.75 m-ball local geometry is
+    discriminative, like real 3DMatch interiors.
+
+    Returns (points (N,3), normals (N,3), curvature (N,), (w, d, h))."""
     w = rng.uniform(4.5, 7.0)
     d = rng.uniform(4.5, 7.0)
+    if abs(w - d) < 0.6:  # break the square-room 90-degree wall symmetry
+        d += np.sign(d - w + 1e-9) * 0.6
     h = rng.uniform(2.5, 3.0)
     ex = np.eye(3)
     pts, nrm, curv = [], [], []
+    plane_density = 0.45 * density
+    obj_density = 2.2 * density
     planes = [
         # origin, u, v, inward normal, extents
         (np.zeros(3), ex[0], ex[1], ex[2], w, d),          # floor
@@ -312,33 +335,100 @@ def _make_room(rng, density: float = 260.0):
         (np.array([w, 0, 0]), ex[1], ex[2], -ex[0], d, h),  # wall x=w
     ]
     for origin, u, v, n_vec, eu, ev in planes:
-        n_pts = int(density * eu * ev)
+        n_pts = int(plane_density * eu * ev)
         p, s = _sample_plane(rng, n_pts, origin, u, v, n_vec, eu, ev)
         pts.append(p)
         nrm.append(s)
         curv.append(np.full(n_pts, 0.005))
-    # furniture boxes (tables, cabinets, sofas): corner structure
-    for _ in range(rng.integers(7, 13)):
-        size = rng.uniform([0.3, 0.3, 0.3], [1.6, 1.6, 1.4])
-        c = np.array([rng.uniform(0.5 + size[0] / 2, w - 0.5 - size[0] / 2),
-                      rng.uniform(0.5 + size[1] / 2, d - 0.5 - size[1] / 2),
-                      size[2] / 2])
-        nb = max(int(density * 2 * (size[0] * size[1] + size[0] * size[2]
-                                    + size[1] * size[2])), 64)
-        p, s = _sample_box(rng, c, size, rng.uniform(0, np.pi), nb)
+
+    def add_box(c, size, R=None, yaw=None):
+        nb = max(int(obj_density * 2 * (size[0] * size[1] + size[0] * size[2]
+                                        + size[1] * size[2])), 64)
+        p, s = _sample_box(rng, c, size, 0.0 if yaw is None else yaw, nb)
+        if R is not None:
+            p = (p - c[None, :]) @ R.T + c[None, :]
+            s = s @ R.T
         pts.append(p + rng.normal(scale=0.006, size=p.shape))
         nrm.append(s)
         curv.append(np.full(nb, 0.02))
-    # cylinders (lamps, bins)
+        return c, size
+
+    # floor furniture (tables, cabinets, sofas), some with a smaller box
+    # stacked on top (object-on-table structure)
+    for _ in range(rng.integers(12, 19)):
+        size = rng.uniform([0.25, 0.25, 0.25], [1.8, 1.8, 1.4])
+        c = np.array([rng.uniform(0.4 + size[0] / 2, w - 0.4 - size[0] / 2),
+                      rng.uniform(0.4 + size[1] / 2, d - 0.4 - size[1] / 2),
+                      size[2] / 2])
+        add_box(c, size, yaw=rng.uniform(0, np.pi))
+        if rng.uniform() < 0.4:
+            top = rng.uniform([0.12, 0.12, 0.12], size * [0.7, 0.7, 1.0])
+            c2 = c + np.array([rng.uniform(-0.2, 0.2), rng.uniform(-0.2, 0.2),
+                               size[2] / 2 + top[2] / 2])
+            add_box(c2, top, yaw=rng.uniform(0, np.pi))
+    # wall-mounted boxes (shelves, cabinets, window sills) at varied heights
+    for _ in range(rng.integers(6, 11)):
+        size = rng.uniform([0.25, 0.12, 0.2], [1.6, 0.5, 0.9])
+        wall = rng.integers(0, 4)
+        along = rng.uniform(0.5, (w if wall < 2 else d) - 0.5)
+        zc = rng.uniform(0.4, h - 0.6)
+        if wall == 0:
+            c, yaw = np.array([along, size[1] / 2, zc]), 0.0
+        elif wall == 1:
+            c, yaw = np.array([along, d - size[1] / 2, zc]), 0.0
+        elif wall == 2:
+            c, yaw = np.array([size[1] / 2, along, zc]), np.pi / 2
+        else:
+            c, yaw = np.array([w - size[1] / 2, along, zc]), np.pi / 2
+        add_box(c, size, yaw=yaw)
+    # fully-tilted boxes (leaning objects): orientation diversity
+    for _ in range(rng.integers(3, 6)):
+        size = rng.uniform([0.2, 0.2, 0.2], [0.9, 0.9, 0.9])
+        c = np.array([rng.uniform(0.8, w - 0.8), rng.uniform(0.8, d - 0.8),
+                      rng.uniform(0.3, 1.8)])
+        add_box(c, size, R=_rand_rotation(rng))
+    # spheres (globes, balls): curvature signature planes/boxes lack
+    for _ in range(rng.integers(3, 6)):
+        r = rng.uniform(0.12, 0.45)
+        c = np.array([rng.uniform(0.6, w - 0.6), rng.uniform(0.6, d - 0.6),
+                      rng.uniform(r, 1.8)])
+        ns = max(int(obj_density * 4 * np.pi * r * r), 64)
+        dirs = _unit(rng.normal(size=(ns, 3)))
+        pts.append(c[None, :] + r * dirs + rng.normal(scale=0.004,
+                                                      size=(ns, 3)))
+        nrm.append(dirs)
+        curv.append(np.full(ns, 0.1))
+    # vertical cylinders (lamps, bins)
     for _ in range(rng.integers(2, 5)):
         hgt = rng.uniform(0.5, 1.6)
         r = rng.uniform(0.08, 0.3)
-        npl = max(int(density * 2 * np.pi * r * hgt), 48)
+        npl = max(int(obj_density * 2 * np.pi * r * hgt), 48)
         t = rng.uniform(0, 2 * np.pi, size=npl)
         z = rng.uniform(0, hgt, size=npl)
         cx, cy = rng.uniform(0.6, w - 0.6), rng.uniform(0.6, d - 0.6)
         p = np.stack([cx + r * np.cos(t), cy + r * np.sin(t), z], 1)
         s = np.stack([np.cos(t), np.sin(t), np.zeros(npl)], 1)
+        pts.append(p + rng.normal(scale=0.004, size=p.shape))
+        nrm.append(s)
+        curv.append(np.full(npl, 0.12))
+    # horizontal pipes along walls near the ceiling
+    for _ in range(rng.integers(1, 3)):
+        r = rng.uniform(0.05, 0.12)
+        zc = rng.uniform(h - 0.5, h - 0.15)
+        along_x = rng.uniform() < 0.5
+        ln = (w if along_x else d) - 1.0
+        npl = max(int(obj_density * 2 * np.pi * r * ln), 48)
+        t = rng.uniform(0, 2 * np.pi, size=npl)
+        a = rng.uniform(0.5, 0.5 + ln, size=npl)
+        off = rng.uniform(0.3, 0.8)
+        if along_x:
+            cy = off if rng.uniform() < 0.5 else d - off
+            p = np.stack([a, cy + r * np.cos(t), zc + r * np.sin(t)], 1)
+            s = np.stack([np.zeros(npl), np.cos(t), np.sin(t)], 1)
+        else:
+            cx = off if rng.uniform() < 0.5 else w - off
+            p = np.stack([cx + r * np.cos(t), a, zc + r * np.sin(t)], 1)
+            s = np.stack([np.cos(t), np.zeros(npl), np.sin(t)], 1)
         pts.append(p + rng.normal(scale=0.004, size=p.shape))
         nrm.append(s)
         curv.append(np.full(npl, 0.12))
