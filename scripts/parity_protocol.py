@@ -229,12 +229,19 @@ def main():
     rep_b = float(np.mean(reps_b))
     delta = abs(float(rep_a) - rep_b)
     spread = float(np.max(reps_b) - np.min(reps_b)) if len(reps_b) > 1 else None
+    # the within-1pt verdict is named for the protocol it was measured
+    # against: a non-default --ref-nodes arm (e.g. 'eighth', the
+    # protocol-matched control) must not read as the reference's shipped
+    # 1/4-subsample recipe (~2 pt apart at kitti scale, PARITY.md round 4)
+    verdict_key = ("within_1pt_vs_shipped_ref_protocol"
+                   if args.ref_nodes == "reference"
+                   else f"within_1pt_vs_{args.ref_nodes}_protocol")
     print(json.dumps({"phase": "parity", "ref_nodes": args.ref_nodes,
                       "ours": float(rep_a), "reference_mean": rep_b,
                       "reference_runs": reps_b,
                       "reference_spread": spread,
                       "abs_delta": delta, "pairs": len(arr_a),
-                      "within_1pt": bool(delta <= 0.01 + 1e-9)}))
+                      verdict_key: bool(delta <= 0.01 + 1e-9)}))
 
 
 if __name__ == "__main__":

@@ -50,7 +50,9 @@ def timeloop(name, fn, *args, iters=30):
     for _ in range(3):
         t0 = time.perf_counter()
         outs = [f(*args) for _ in range(iters)]
-        jnp.sum(outs[-1][1]).block_until_ready()
+        # value fetch, not block_until_ready: on the serving tunnel,
+        # block_until_ready can return before queued programs execute
+        float(jnp.sum(outs[-1][1]))
         best = min(best, (time.perf_counter() - t0) / iters)
     print(f"{name:52s} {best*1e3:8.3f} ms", flush=True)
     return best

@@ -203,3 +203,61 @@ def test_smallest_k_method_pallas(rng):
     pv, pi = smallest_k(s, 16, method="pallas")
     np.testing.assert_array_equal(np.asarray(pv), np.asarray(dv))
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(di))
+
+
+def test_smallest_k_pallas_bf16_grad(rng):
+    """grad of a bf16 primal works: the VJP returns the cotangent in the
+    primal dtype (the forward silently upcasts to fp32)."""
+    import jax
+
+    from usip_tpu.ops.pallas_kernels import smallest_k_pallas
+
+    s = jnp.asarray(rng.normal(size=(4, 256)), jnp.bfloat16)
+
+    def f(x):
+        v, _ = smallest_k_pallas(x, 8, interpret=True)
+        return jnp.sum(v)
+
+    g = jax.grad(f)(s)
+    assert g.dtype == jnp.bfloat16
+    # exactly one unit cotangent per selected position
+    assert float(jnp.sum(g.astype(jnp.float32))) == 4 * 8
+
+
+def test_smallest_k_pallas_odd_rows_and_bad_tile(rng):
+    """Odd row counts fall back to the largest divisor (not silent 1-row
+    tiles via repeated halving), and tile_rows < 1 is rejected."""
+    import pytest
+
+    from usip_tpu.ops.pallas_kernels import _smallest_k_impl, smallest_k_pallas
+
+    s = jnp.asarray(rng.normal(size=(9, 256)).astype(np.float32))
+    import jax
+    nv, ni = jax.lax.top_k(-s, 8)
+    pv, pi = smallest_k_pallas(s, 8, tile_rows=6, interpret=True)  # gcd -> 3
+    np.testing.assert_array_equal(np.asarray(pv), np.asarray(-nv))
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ni))
+    with pytest.raises(ValueError, match="tile_rows"):
+        _smallest_k_impl(s, 8, 0, True)
+
+
+def test_smallest_k_method_pallas_export_overrides(rng):
+    """method='pallas' honors the sampling.py export overrides: under
+    force_xla_fps it falls back to the (bit-identical) XLA two-stage form —
+    portable artifacts must embed neither Mosaic custom calls nor
+    interpret-mode pallas_calls."""
+    import jax
+
+    from usip_tpu.ops.sampling import force_xla_fps
+    from usip_tpu.ops.topk import smallest_k
+
+    s = jnp.asarray(rng.normal(size=(4, 4096)).astype(np.float32))
+    dv, di = smallest_k(s, 16)
+    with force_xla_fps():
+        pv, pi = smallest_k(s, 16, method="pallas")
+        # provable XLA-only lowering: no custom_call in the HLO
+        text = jax.jit(lambda x: smallest_k(x, 16, method="pallas")) \
+            .lower(s).as_text()
+    assert "tpu_custom_call" not in text
+    np.testing.assert_array_equal(np.asarray(pv), np.asarray(dv))
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(di))

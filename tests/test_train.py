@@ -700,3 +700,32 @@ def test_keep_epoch_checkpoints(tmp_path):
     restored, meta = restore_checkpoint(
         os.path.join(str(tmp_path), "epoch_1.msgpack"), fresh)
     assert meta["epoch"] == 1
+
+
+def test_eval_fps_subsample_ratio(monkeypatch):
+    """make_detector_infer honors data.eval_fps_subsample_ratio (the
+    reference TEST loaders' coarser node recipe, kitti_test_loader.py:74-131)
+    while training steps keep data.fps_subsample_ratio."""
+    from usip_tpu.train import steps as steps_mod
+
+    seen = []
+    real = steps_mod.sample_nodes
+
+    def spy(key, pc, m, ratio, **kw):
+        seen.append(ratio)
+        return real(key, pc, m, ratio, **kw)
+
+    monkeypatch.setattr(steps_mod, "sample_nodes", spy)
+    cfg = _tiny_config().with_overrides(**{
+        "data.fps_subsample_ratio": 8, "data.eval_fps_subsample_ratio": 4})
+    model, state = _make_state(cfg, jax.random.PRNGKey(0))
+    batch = _batch(cfg)
+    infer = make_detector_infer(cfg, model)
+    infer(state, batch.src_pc, batch.src_sn, jax.random.PRNGKey(1))
+    assert seen == [4]
+    # unset -> falls back to the train ratio
+    seen.clear()
+    cfg2 = _tiny_config().with_overrides(**{"data.fps_subsample_ratio": 8})
+    infer2 = make_detector_infer(cfg2, model)
+    infer2(state, batch.src_pc, batch.src_sn, jax.random.PRNGKey(1))
+    assert seen == [8]

@@ -324,7 +324,7 @@ def _smallest_k_kernel(scores_ref, vals_ref, idx_ref, *, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_rows", "interpret"))
-def smallest_k_pallas(scores: Array, k: int, tile_rows: int = 16,
+def smallest_k_pallas(scores: Array, k: int, tile_rows: int = 32,
                       interpret: bool = False):
     """Exact smallest-k over the last axis, whole selection in one Mosaic pass.
 
@@ -334,6 +334,14 @@ def smallest_k_pallas(scores: Array, k: int, tile_rows: int = 16,
     (tests/test_pallas_kernels.py). N is padded to the lane width with +inf;
     padded picks (only reachable when a row has < k finite entries, like the
     direct form) are clamped to N-1 exactly like ``ops.topk.smallest_k``.
+
+    Input contract (NOT checked — a guard would cost a full extra pass over
+    the scores on the hot path): NaN and -inf are sentinelized exactly like
+    +inf, i.e. treated as "absent" and sorted last, which DIVERGES from
+    ``lax.top_k`` (where -inf is the smallest value and sorts first, and NaN
+    order is unspecified). Callers producing distances/priorities (always
+    finite or +inf-masked) satisfy this by construction; anything else must
+    pre-mask.
 
     Differentiable: the VJP scatters the value cotangent back to the selected
     positions — the same gradient ``lax.top_k`` has.
@@ -348,11 +356,14 @@ def _smallest_k_vjp(scores, k, tile_rows, interpret):
 
 def _smallest_k_fwd(scores, k, tile_rows, interpret):
     vals, idx = _smallest_k_impl(scores, k, tile_rows, interpret)
-    return (vals, idx), (idx, scores.shape)
+    # dtype token: residuals must be JAX types, so carry the primal dtype as
+    # a size-0 array instead of a dtype object
+    return (vals, idx), (idx, scores.shape, jnp.zeros((0,), scores.dtype))
 
 
 def _smallest_k_bwd(k, tile_rows, interpret, res, cots):
-    idx, shape = res
+    idx, shape, dtype_token = res
+    dtype = dtype_token.dtype
     gv, _ = cots
     n = shape[-1]
     flat_idx = idx.reshape(-1, k)
@@ -360,7 +371,9 @@ def _smallest_k_bwd(k, tile_rows, interpret, res, cots):
     rows = jnp.arange(flat_idx.shape[0], dtype=jnp.int32)[:, None]
     d = jnp.zeros((flat_idx.shape[0], n), jnp.float32)
     d = d.at[rows, flat_idx].add(flat_gv)
-    return (d.reshape(shape),)
+    # the forward silently upcasts non-fp32 inputs; the cotangent must come
+    # back in the primal dtype or custom_vjp rejects bf16 primals at runtime
+    return (d.reshape(shape).astype(dtype),)
 
 
 _smallest_k_vjp.defvjp(_smallest_k_fwd, _smallest_k_bwd)
@@ -373,8 +386,17 @@ def _smallest_k_impl(scores: Array, k: int, tile_rows: int, interpret: bool):
     pad = (-n) % 128
     if pad:
         flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=jnp.inf)
-    while r % tile_rows:
-        tile_rows //= 2
+    if tile_rows < 1:
+        raise ValueError(f"tile_rows must be >= 1, got {tile_rows}")
+    # VMEM budget: the kernel keeps ~4 (TR, N) fp32/int32 planes live; the
+    # round-5 probe at N=16384 ran at TR=32 (2 MiB/plane) and RESOURCE-failed
+    # at TR=64 (4 MiB/plane) on v5e — cap the plane size at the measured-good
+    # boundary before the divisor search
+    budget_rows = max(1, (2 * 1024 * 1024) // (4 * flat.shape[1]))
+    tile_rows = min(tile_rows, budget_rows, r)
+    # largest divisor of r <= tile_rows (not repeated halving: odd r would
+    # silently degrade to 1-row tiles, a large perf cliff)
+    tile_rows = max(t for t in range(1, tile_rows + 1) if r % t == 0)
     vals, idx = pl.pallas_call(
         functools.partial(_smallest_k_kernel, k=k),
         grid=(r // tile_rows,),

@@ -311,7 +311,14 @@ def make_detector_infer(cfg: Config, model: Detector):
     device, returns keypoints + sigmas.
 
     ``detector.fusion_backend='pallas'`` (som trunk only) routes the fusion
-    stack through the VMEM-resident fused chain (models/fused_infer.py)."""
+    stack through the VMEM-resident fused chain (models/fused_infer.py).
+
+    Node sampling honors ``data.eval_fps_subsample_ratio`` when set — the
+    reference's TEST loaders use a coarser FPS candidate recipe (1/4 subset,
+    kitti_test_loader.py:74-131) than its train loaders; this is the eval
+    path, so the eval recipe applies here."""
+    eval_ratio = (cfg.data.eval_fps_subsample_ratio
+                  or cfg.data.fps_subsample_ratio)
     use_fused = (cfg.detector.fusion_backend == "pallas"
                  and cfg.detector.grouping == "som")
     if use_fused:
@@ -321,8 +328,7 @@ def make_detector_infer(cfg: Config, model: Detector):
         interp = _jax.default_backend() == "cpu"
 
         def infer_fused(state: TrainState, pc: Array, sn: Array, key: Array):
-            node = sample_nodes(key, pc, cfg.data.node_num,
-                                cfg.data.fps_subsample_ratio,
+            node = sample_nodes(key, pc, cfg.data.node_num, eval_ratio,
                                 parallel=cfg.data.fps_parallel)
             _, kp, sig = detector_infer_fused(cfg, state.variables, pc, sn,
                                               node, interpret=interp)
@@ -331,8 +337,7 @@ def make_detector_infer(cfg: Config, model: Detector):
         return infer_fused
 
     def infer(state: TrainState, pc: Array, sn: Array, key: Array):
-        node = sample_nodes(key, pc, cfg.data.node_num,
-                            cfg.data.fps_subsample_ratio,
+        node = sample_nodes(key, pc, cfg.data.node_num, eval_ratio,
                             parallel=cfg.data.fps_parallel)
         _, kp, sig = model.apply(state.variables, pc, sn, node, train=False)
         return kp, sig
