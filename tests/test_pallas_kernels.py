@@ -261,3 +261,33 @@ def test_smallest_k_method_pallas_export_overrides(rng):
     assert "tpu_custom_call" not in text
     np.testing.assert_array_equal(np.asarray(pv), np.asarray(dv))
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(di))
+
+
+def test_fps_dispatch_not_poisoned_by_jit_cache(rng):
+    """Regression: the Mosaic/XLA FPS dispatch must be part of the jit cache
+    key. It used to be resolved from trace-time globals INSIDE the jitted
+    body, so whichever context traced a (shape, k) first won for the rest of
+    the process — bench_artifact's portable export (force_xla_fps) silently
+    downgraded every later in-process trace to XLA FPS, and conversely a TPU
+    trace leaked Mosaic custom calls into portable jax.export artifacts
+    (observed round 5: uniform ~708 clouds/s across arms, and a pallas-on-CPU
+    lowering failure in a load-only process)."""
+    import jax
+
+    from usip_tpu.ops.sampling import (assume_tpu_fps, force_xla_fps,
+                                       farthest_point_sampling)
+
+    pts = jnp.asarray(rng.normal(size=(4, 1024, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    def trace(k, p):
+        return str(jax.make_jaxpr(
+            lambda kk, pp: farthest_point_sampling(kk, pp, 64))(k, p))
+
+    with assume_tpu_fps():
+        assert "pallas_call" in trace(key, pts)  # Mosaic kernel embedded
+    # Same shapes, same process: the export override must still take effect.
+    with force_xla_fps():
+        assert "pallas_call" not in trace(key, pts)
+    with assume_tpu_fps():
+        assert "pallas_call" in trace(key, pts)

@@ -103,11 +103,11 @@ def _use_pallas_fps(backend: str, points: Array, k: int) -> bool:
 
 
 def _fps_batched(key: Array, points: Array, k: int,
-                 backend: str) -> Tuple[Array, Array]:
-    """One FPS instance per batch row; backend-dispatched."""
+                 use_pallas: bool) -> Tuple[Array, Array]:
+    """One FPS instance per batch row; backend pre-resolved by the caller."""
     b, n, _ = points.shape
     first = jax.random.randint(key, (b,), 0, n)
-    if _use_pallas_fps(backend, points, k):
+    if use_pallas:
         from usip_tpu.ops.pallas_kernels import fps_pallas
         idxs = fps_pallas(jax.lax.stop_gradient(points), first, k)
         return jnp.take_along_axis(points, idxs[..., None], axis=1), idxs
@@ -115,6 +115,26 @@ def _fps_batched(key: Array, points: Array, k: int,
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _fps_jit(key: Array, points: Array, k: int, parallel: int,
+             use_pallas: bool) -> Tuple[Array, Array]:
+    """Jitted FPS body. ``use_pallas`` is resolved by the un-jitted wrapper so
+    the Mosaic/XLA decision is part of the jit cache key — resolving it inside
+    the traced body from trace-time globals (force_xla_fps/assume_tpu_fps/
+    default_backend) let whichever context traced a (shape, k) first poison
+    every later caller in the process, including jax.export artifact tracing.
+    """
+    b, n, _ = points.shape
+    if parallel > 1:
+        nc, kc = n // parallel, k // parallel
+        chunks = points.reshape(b * parallel, nc, 3)
+        samples, idxs = _fps_batched(key, chunks, kc, use_pallas)
+        offs = ((jnp.arange(b * parallel, dtype=jnp.int32) % parallel)
+                * nc)[:, None]
+        return (samples.reshape(b, k, 3),
+                (idxs + offs).reshape(b, k))
+    return _fps_batched(key, points, k, use_pallas)
+
+
 def farthest_point_sampling(key: Array, points: Array, k: int,
                             parallel: int = 1,
                             backend: str = "auto") -> Tuple[Array, Array]:
@@ -129,20 +149,21 @@ def farthest_point_sampling(key: Array, points: Array, k: int,
 
     ``backend``: 'auto' (Mosaic kernel on TPU when eligible, XLA otherwise),
     'xla', or 'pallas'. Both produce bit-identical pick indices
-    (tests/test_pallas_kernels.py).
+    (tests/test_pallas_kernels.py). The dispatch (including the
+    force_xla_fps/assume_tpu_fps export overrides) is resolved HERE, outside
+    jit, against the effective per-instance shape, so each resolution compiles
+    and caches separately.
     """
     b, n, _ = points.shape
     if parallel > 1:
         if n % parallel or k % parallel:
             raise ValueError(f"parallel={parallel} must divide N={n} and k={k}")
-        nc, kc = n // parallel, k // parallel
-        chunks = points.reshape(b * parallel, nc, 3)
-        samples, idxs = _fps_batched(key, chunks, kc, backend)
-        offs = ((jnp.arange(b * parallel, dtype=jnp.int32) % parallel)
-                * nc)[:, None]
-        return (samples.reshape(b, k, 3),
-                (idxs + offs).reshape(b, k))
-    return _fps_batched(key, points, k, backend)
+        eff = jax.ShapeDtypeStruct((b * parallel, n // parallel, 3),
+                                   points.dtype)
+        use_pallas = _use_pallas_fps(backend, eff, k // parallel)
+    else:
+        use_pallas = _use_pallas_fps(backend, points, k)
+    return _fps_jit(key, points, k, parallel, use_pallas)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
