@@ -729,3 +729,57 @@ def test_eval_fps_subsample_ratio(monkeypatch):
     infer2 = make_detector_infer(cfg2, model)
     infer2(state, batch.src_pc, batch.src_sn, jax.random.PRNGKey(1))
     assert seen == [8]
+
+
+def test_descriptor_packed_wire_matches_tuple_batch(tmp_path):
+    """PackedPairBatch (the single-buffer descriptor wire) is numerically
+    equivalent to the 5-leaf DescriptorBatch: identical metrics at fp32 wire,
+    close at fp16 wire. Guards the engine's single-RPC transfer path
+    (descriptor_loop._device_batch)."""
+    from usip_tpu.train.descriptor_loop import init_descriptor_state
+    from usip_tpu.train.steps import (DescriptorBatch as DBatch,
+                                      make_descriptor_train_step,
+                                      pack_pair_batch)
+
+    cfg = get_config(
+        "kitti",
+        role="descriptor",
+        **{"data.input_pc_num": 128, "data.parent_pc_num": 160,
+           "data.node_num": 16,
+           "detector.c1": 16, "detector.c2": 32, "detector.node_knn_k": 4,
+           "descriptor.descriptor_len": 16, "descriptor.ball_nsamples": 8,
+           "train.batch_size": 2, "augment.height_scale": False})
+    det_model, det_state = _make_state(cfg, jax.random.PRNGKey(0))
+    desc_model, desc_state = init_descriptor_state(cfg, seed=7)
+    step = jax.jit(make_descriptor_train_step(cfg, det_model, desc_model,
+                                              use_cgf=False))
+
+    rng = np.random.default_rng(5)
+    b, n = cfg.train.batch_size, cfg.data.input_pc_num
+    s = cfg.descriptor.surface_normal_len
+    anc_pc = rng.normal(size=(b, n, 3)).astype(np.float32)
+    anc_sn = rng.normal(size=(b, n, s)).astype(np.float32)
+    pos_pc = rng.normal(size=(b, n, 3)).astype(np.float32)
+    pos_sn = rng.normal(size=(b, n, s)).astype(np.float32)
+    neg_idx = np.array([1, 0], np.int64)
+    key = jax.random.PRNGKey(3)
+    ep = jnp.asarray(0)
+
+    tuple_batch = jax.device_put(DBatch(anc_pc=anc_pc, anc_sn=anc_sn,
+                                        pos_pc=pos_pc, pos_sn=pos_sn,
+                                        neg_idx=neg_idx))
+    _, m_tuple = step(desc_state, det_state, tuple_batch, key, ep)
+
+    packed32 = jax.device_put(pack_pair_batch(anc_pc, anc_sn, pos_pc, pos_sn,
+                                              neg_idx, wire="float32"))
+    _, m_p32 = step(desc_state, det_state, packed32, key, ep)
+    np.testing.assert_allclose(float(m_tuple["loss"]), float(m_p32["loss"]),
+                               rtol=0, atol=0)
+
+    packed16 = jax.device_put(pack_pair_batch(anc_pc, anc_sn, pos_pc, pos_sn,
+                                              neg_idx, wire="float16"))
+    assert packed16.x.dtype == jnp.float16
+    _, m_p16 = step(desc_state, det_state, packed16, key, ep)
+    assert np.isfinite(float(m_p16["loss"]))
+    np.testing.assert_allclose(float(m_tuple["loss"]), float(m_p16["loss"]),
+                               rtol=0.05, atol=0.02)

@@ -19,7 +19,8 @@ from usip_tpu.train.loop import (_fetch_metrics, init_detector_state,
                                  prefetch_batches)
 from usip_tpu.train.state import (TrainState, lr_at_epoch, make_adam,
                                   set_learning_rate)
-from usip_tpu.train.steps import DescriptorBatch, make_descriptor_train_step
+from usip_tpu.train.steps import (DescriptorBatch, make_descriptor_train_step,
+                                  pack_pair_batch)
 from usip_tpu.utils.logging import MetricsLogger, RunningAverages
 
 
@@ -129,7 +130,7 @@ class DescriptorEngine:
             self.best_test_loss = float(meta["loss"])
         return self.start_epoch
 
-    def _device_batch(self, raw: Dict[str, np.ndarray]) -> DescriptorBatch:
+    def _device_batch(self, raw: Dict[str, np.ndarray]):
         b = raw["anc_pc"].shape[0]
         if self.mine_negatives is not None:
             neg_idx = self.mine_negatives(raw)
@@ -137,12 +138,19 @@ class DescriptorEngine:
             # default in-batch negatives: shifted permutation (seeded)
             neg_idx = (np.arange(b) + 1 + self._np_rng.integers(0, b - 1)) % b \
                 if b > 1 else np.zeros(b, np.int64)
-        batch = DescriptorBatch(
-            anc_pc=raw["anc_pc"], anc_sn=raw["anc_sn"],
-            pos_pc=raw["pos_pc"], pos_sn=raw["pos_sn"],
-            neg_idx=np.asarray(neg_idx, np.int64))
         if self.mesh is not None:
+            batch = DescriptorBatch(
+                anc_pc=raw["anc_pc"], anc_sn=raw["anc_sn"],
+                pos_pc=raw["pos_pc"], pos_sn=raw["pos_sn"],
+                neg_idx=np.asarray(neg_idx, np.int64))
             return DescriptorBatch(*shard_batch(self.mesh, tuple(batch)))
+        # single-device: ONE packed buffer instead of five leaves — each
+        # device_put leaf costs a full RPC on the remote tunnel, which made
+        # the 5-leaf wire 2.43x off the pure step (PERFORMANCE.md
+        # descriptor-engine section); fp16 wire per cfg.data.wire_dtype
+        batch = pack_pair_batch(raw["anc_pc"], raw["anc_sn"],
+                                raw["pos_pc"], raw["pos_sn"], neg_idx,
+                                wire=self.cfg.data.wire_dtype)
         return jax.device_put(batch)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:

@@ -360,6 +360,46 @@ class DescriptorBatch(NamedTuple):
     neg_idx: Array   # (B,) int32
 
 
+class PackedPairBatch(NamedTuple):
+    """Single-buffer anchor/positive wire: ``[pc | sn]`` for both scans in ONE
+    array (descriptor analog of :class:`PackedParentBatch`). On the remote
+    serving tunnel each ``device_put`` leaf costs a ~25-45 ms RPC, so the
+    5-leaf :class:`DescriptorBatch` spends ~125-225 ms/batch on transfers
+    alone — measured 2.43x off the pure step at the kitti descriptor preset
+    (PERFORMANCE.md descriptor-engine section). Decoded to fp32 on device at
+    step entry (:func:`_as_pair`)."""
+
+    x: Array         # (B, 2, N, 3+S): [:, 0] anchor, [:, 1] positive
+    neg_idx: Array   # (B,) int32
+
+
+def pack_pair_batch(anc_pc, anc_sn, pos_pc, pos_sn, neg_idx,
+                    wire: str = "float16") -> PackedPairBatch:
+    """Host-side (numpy) encode for the packed descriptor wire. ``wire``
+    follows ``cfg.data.wire_dtype``: ``'float32'`` keeps full precision,
+    anything else ships fp16 (the detector engine's measured-best wire)."""
+    import numpy as np
+    dt = np.float32 if wire == "float32" else np.float16
+    anc = np.concatenate([np.asarray(anc_pc, dt), np.asarray(anc_sn, dt)],
+                         axis=-1)
+    pos = np.concatenate([np.asarray(pos_pc, dt), np.asarray(pos_sn, dt)],
+                         axis=-1)
+    return PackedPairBatch(x=np.stack([anc, pos], axis=1),
+                           neg_idx=np.asarray(neg_idx, np.int32))
+
+
+def _as_pair(batch):
+    """Decode either descriptor wire to fp32 (anc_pc, anc_sn, pos_pc, pos_sn,
+    neg_idx)."""
+    f32 = lambda x: x.astype(jnp.float32)
+    if isinstance(batch, PackedPairBatch):
+        x = f32(batch.x)
+        return (x[:, 0, :, :3], x[:, 0, :, 3:],
+                x[:, 1, :, :3], x[:, 1, :, 3:], batch.neg_idx)
+    return (f32(batch.anc_pc), f32(batch.anc_sn),
+            f32(batch.pos_pc), f32(batch.pos_sn), batch.neg_idx)
+
+
 def make_descriptor_train_step(cfg: Config, detector: Detector,
                                descriptor: Descriptor, use_cgf: bool = False,
                                eval_only: bool = False):
@@ -385,8 +425,7 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
         (k_node_a, k_node_p, k_se3, k_ball_a, k_ball_p, k_ball_n,
          k_cgf, k_height) = jax.random.split(key, 8)
         aug = cfg.augment
-        anc_pc, anc_sn = batch.anc_pc, batch.anc_sn
-        pos_pc, pos_sn = batch.pos_pc, batch.pos_sn
+        anc_pc, anc_sn, pos_pc, pos_sn, neg_idx = _as_pair(batch)
         gt = None
         if use_cgf:
             # indoor: pos copy gets a GT transform; anchor keypoints are aligned
@@ -460,7 +499,7 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
                     gamma=cfg.loss.triple_loss_gamma,
                     sigma_max=cfg.loss.sigma_max)
             else:
-                neg_desc = anc_desc[batch.neg_idx]
+                neg_desc = anc_desc[neg_idx]
                 loss_bm, active = losses.desc_pair_scan_loss(
                     anc_desc, pos_desc, neg_desc, anc_sig,
                     gamma=cfg.loss.triple_loss_gamma,
