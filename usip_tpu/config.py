@@ -181,6 +181,15 @@ class TrainConfig:
     # '<epoch>_net_detector.pth' trail that modelnet/oxford drivers write,
     # modelnet/train_detector.py:111-113) instead of only best/last
     keep_epoch_checkpoints: bool = False
+    # Descriptor best.msgpack selection criterion: 'loss' (reference parity —
+    # the descriptor drivers gate on best test loss, oxford/train_descriptor.py
+    # test loop) or 'match_acc' (per-keypoint 1-NN matching accuracy under the
+    # CGF GT alignment; requires the CGF objective). Measured motivation
+    # (PERFORMANCE.md indoor 2x2): at long training the CGF test loss keeps
+    # improving while fragment-registration recall DROPS — best-by-test-loss
+    # picked arm D's epoch-72 checkpoint (recall 0.268) over the better
+    # 30-epoch one; match_acc is the in-step registration proxy.
+    select_best_by: str = "loss"
     # keypoint-scene visuals every N epochs (0 = off): .npz scatter payload +
     # PNG render, the visdom display_current_results analog
     # (keypoint_detector.py:259-334)

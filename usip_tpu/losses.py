@@ -181,3 +181,30 @@ def desc_cgf_loss(anc_keypoints: Array, anc_desc: Array, pos_keypoints: Array,
     weights = _sigma_weights(anc_sigmas, sigma_max)
     loss = weights * jnp.maximum(before_clamp, 0.0) * scaling[:, None]
     return loss, active
+
+
+def descriptor_matching_accuracy(anc_keypoints: Array, anc_desc: Array,
+                                 pos_keypoints: Array, pos_desc: Array, *,
+                                 radius: float) -> Array:
+    """Per-keypoint 1-NN descriptor matching accuracy, (B,).
+
+    ``anc_keypoints`` must already be GT-aligned to the pos frame (same
+    contract as :func:`desc_cgf_loss`). For each anchor keypoint that HAS a
+    geometric match within ``radius`` (unmatchable boundary keypoints are
+    excluded from the denominator), its nearest pos descriptor is looked up
+    and counted correct when the matched pos keypoint lies within ``radius``
+    of the aligned anchor. This is the registration-proxy metric: RANSAC
+    recall is driven by exactly this inlier fraction, and the CGF/scan test
+    LOSS is measured to diverge from it at long training (PERFORMANCE.md
+    indoor 2x2: best-by-test-loss picked a checkpoint with lower registration
+    recall). Used by ``train.select_best_by='match_acc'``.
+    """
+    desc_diff = pairwise_dist(anc_desc, pos_desc)          # (B, M, M)
+    kp_diff = pairwise_dist(anc_keypoints, pos_keypoints)  # (B, M, M)
+    has_match = jnp.any(kp_diff <= radius, axis=2)         # (B, M)
+    nn_idx = jnp.argmin(desc_diff, axis=2)                 # (B, M)
+    nn_kp_dist = jnp.take_along_axis(kp_diff, nn_idx[..., None],
+                                     axis=2)[..., 0]       # (B, M)
+    correct = (nn_kp_dist <= radius) & has_match
+    denom = jnp.maximum(jnp.sum(has_match.astype(jnp.float32), axis=1), 1.0)
+    return jnp.sum(correct.astype(jnp.float32), axis=1) / denom

@@ -72,6 +72,17 @@ class DescriptorEngine:
         if use_cgf is None:
             use_cgf = cfg.descriptor.use_global_context  # indoor pipeline
         self.use_cgf = use_cgf
+        self.select_best_by = cfg.train.select_best_by
+        if self.select_best_by not in ("loss", "match_acc"):
+            raise ValueError(
+                f"train.select_best_by={self.select_best_by!r}: expected "
+                "'loss' or 'match_acc'")
+        if self.select_best_by == "match_acc" and not self.use_cgf:
+            raise ValueError(
+                "train.select_best_by='match_acc' requires the CGF objective "
+                "(descriptor.use_cgf_loss=true): the matching-accuracy metric "
+                "is computed under the CGF GT alignment, which the scan "
+                "triplet path does not have in-step")
 
         # frozen detector (reference loads + freeze_model,
         # oxford/train_descriptor.py:70-77)
@@ -126,8 +137,15 @@ class DescriptorEngine:
             self.state = replicate(self.mesh, self.state)
         if meta and "epoch" in meta:
             self.start_epoch = int(meta["epoch"]) + 1
-        if meta and "loss" in meta:
-            self.best_test_loss = float(meta["loss"])
+        if meta:
+            # restore the selection score under the SAME criterion this engine
+            # gates on (a checkpoint written before the metric existed simply
+            # leaves the gate open)
+            score = self._selection_score(
+                {k: float(v) for k, v in meta.items()
+                 if isinstance(v, (int, float))})
+            if score != float("inf"):
+                self.best_test_loss = score
         return self.start_epoch
 
     def _device_batch(self, raw: Dict[str, np.ndarray]):
@@ -210,13 +228,24 @@ class DescriptorEngine:
             self.logger.log(int(self.state.step), epoch, avg, prefix="desc_test")
         return avg
 
+    def _selection_score(self, metrics: Dict[str, float]) -> float:
+        """Lower-is-better best.msgpack score per cfg.train.select_best_by:
+        the test loss (reference parity), or the negated match_acc
+        registration proxy. Epochs missing the criterion metric score +inf
+        (they never win)."""
+        if self.select_best_by == "match_acc":
+            return -metrics.get("match_acc", -float("inf"))
+        return metrics.get("loss", float("inf"))
+
     def maybe_save(self, epoch: int, metrics: Dict[str, float]) -> bool:
-        """Best-loss-gated best.msgpack (parity with DetectorEngine; the
-        reference descriptor drivers gate on best test loss,
-        oxford/train_descriptor.py test loop)."""
-        loss = metrics.get("loss", float("inf"))
-        if loss < self.best_test_loss:
-            self.best_test_loss = loss
+        """Criterion-gated best.msgpack (default: best test loss, parity with
+        DetectorEngine and the reference descriptor drivers'
+        oxford/train_descriptor.py test loop; train.select_best_by='match_acc'
+        gates on the in-step matching-accuracy registration proxy instead —
+        ``best_test_loss`` then holds -match_acc)."""
+        score = self._selection_score(metrics)
+        if score < self.best_test_loss:
+            self.best_test_loss = score
             save_checkpoint(os.path.join(self.out_dir, "best.msgpack"),
                             self.state, metadata={"epoch": epoch, **metrics})
             return True

@@ -491,6 +491,7 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
             variables = {"params": params, "batch_stats": mut1["batch_stats"]}
             (pos_desc, _), mut2 = run(pos_pc, pos_sn, pos_kp, k_ball_p, variables)
             new_stats = mut2["batch_stats"]
+            extra = {}
             if use_cgf:
                 anc_kp_aligned = apply_se3(anc_kp, gt.R, gt.scale, gt.shift)
                 loss_bm, active = losses.desc_cgf_loss(
@@ -498,6 +499,14 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
                     cgf_radius=cfg.loss.cgf_radius,
                     gamma=cfg.loss.triple_loss_gamma,
                     sigma_max=cfg.loss.sigma_max)
+                # registration-proxy selection metric (one extra (B,M,M)
+                # reuse-shaped matmul — negligible next to the ball grouping);
+                # the GT alignment the CGF objective already requires is what
+                # makes it computable in-step
+                extra["match_acc"] = jnp.mean(
+                    jax.lax.stop_gradient(losses.descriptor_matching_accuracy(
+                        anc_kp_aligned, anc_desc, pos_kp, pos_desc,
+                        radius=cfg.loss.cgf_radius)))
             else:
                 neg_desc = anc_desc[neg_idx]
                 loss_bm, active = losses.desc_pair_scan_loss(
@@ -511,7 +520,7 @@ def make_descriptor_train_step(cfg: Config, detector: Detector,
                        "sigma_mean": jnp.mean(anc_sig),
                        "sigma_std": jnp.std(anc_sig),
                        "sigma_min": jnp.min(anc_sig),
-                       "sigma_max": jnp.max(anc_sig)}
+                       "sigma_max": jnp.max(anc_sig), **extra}
             return total, (new_stats, metrics)
 
         if eval_only:
